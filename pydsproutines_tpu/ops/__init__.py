@@ -1,0 +1,91 @@
+"""DSP ops layer — the heart of the framework (SURVEY.md §2.1).
+
+Each module re-expresses one reference component as jax-traced ops (single
+implementation for CPU parity tier and TPU compiled tier), with Pallas kernels
+for paths where XLA fusion is insufficient.
+"""
+
+from pydsproutines_tpu.ops.spectral import (
+    CZT,
+    czt,
+    dft,
+    tone_spectrum,
+    IntegerMultipleFFT,
+    burst_fft,
+)
+from pydsproutines_tpu.ops.filters import (
+    lfilter_fir,
+    StreamFilter,
+    upfirdn,
+    get_upfirdn_size,
+    StreamUpfirdn,
+    moving_average,
+    multi_moving_average,
+    complex_moving_sum,
+    medfilt,
+    resample_factor_wizard,
+)
+from pydsproutines_tpu.ops.wola import wola, Channeliser
+from pydsproutines_tpu.ops.detection import (
+    Edges,
+    threshold_edges,
+    find_local_maxima,
+    auto_detect_threshold,
+    BurstDetector,
+    energy_detection,
+)
+from pydsproutines_tpu.ops.xcorr import (
+    fast_xcorr,
+    czt_xcorr,
+    calc_qf2,
+    fine_freq_time_search,
+    make_time_scan_steervec,
+    convert_qf2_to_snr,
+    convert_qf2_to_eff_snr,
+    convert_eff_snr_to_qf2,
+    expected_eff_snr,
+    sigma_dto,
+    sigma_dfo,
+    theoretical_multi_peak,
+    argmax2d,
+)
+
+__all__ = [
+    "lfilter_fir",
+    "StreamFilter",
+    "upfirdn",
+    "get_upfirdn_size",
+    "StreamUpfirdn",
+    "moving_average",
+    "multi_moving_average",
+    "complex_moving_sum",
+    "medfilt",
+    "resample_factor_wizard",
+    "wola",
+    "Channeliser",
+    "Edges",
+    "threshold_edges",
+    "find_local_maxima",
+    "auto_detect_threshold",
+    "BurstDetector",
+    "energy_detection",
+    "CZT",
+    "czt",
+    "dft",
+    "tone_spectrum",
+    "IntegerMultipleFFT",
+    "burst_fft",
+    "fast_xcorr",
+    "czt_xcorr",
+    "calc_qf2",
+    "fine_freq_time_search",
+    "make_time_scan_steervec",
+    "convert_qf2_to_snr",
+    "convert_qf2_to_eff_snr",
+    "convert_eff_snr_to_qf2",
+    "expected_eff_snr",
+    "sigma_dto",
+    "sigma_dfo",
+    "theoretical_multi_peak",
+    "argmax2d",
+]

@@ -1,0 +1,121 @@
+"""WOLA (weighted overlap-add) polyphase channelizer.
+
+Reference semantics: /root/reference/filterRoutines.py:578 (``wola``) and the
+threaded C DLLs (cpuWolaDll.c:107, multiChannelWola.c:112):
+
+    out[nprime, :] = N * ifft( dft_in )        with
+    dft_in[a] = sum_b x[nprime*Dec - (b*N + a)] * f_tap[b*N + a]
+
+for nprime in [0, floor(len(x)/Dec)), with x implicitly zero before index 0,
+and — when N == 2*Dec — a phase correction that negates the odd channels of
+odd output rows (filterRoutines.py:627-629, cpuWolaDll.c:87-94).
+
+TPU-first design: instead of striping ``nprime`` across CPU threads, all
+output rows are computed at once — a windowed gather into a (nprimePts, L)
+matrix, a polyphase fold reshape-sum to (nprimePts, N), and one batched IFFT.
+XLA fuses the gather+multiply+fold; the IFFT batches across rows. The
+streaming ``Channeliser`` keeps the reference's delay/warm-up-discard
+semantics so block outputs concatenate seamlessly. Channel/time sharding over
+a device mesh lives in pydsproutines_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pydsproutines_tpu.utils.freq import make_freq
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n"))
+def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None) -> jnp.ndarray:
+    """WOLA channelize ``x`` into ``n`` channels decimated by ``dec``.
+
+    Matches the reference pure-python wola() (filterRoutines.py:578)
+    including the odd-row phase flip for n == 2*dec. f_tap length must be an
+    integer multiple of n; n must equal dec or 2*dec.
+    """
+    if n is None:
+        n = dec
+    if n != dec and n != 2 * dec:
+        raise ValueError("Only N == Dec or N == 2*Dec supported (as reference).")
+    L = f_tap.shape[-1]
+    if L % n != 0:
+        raise ValueError("Filter tap length must be an integer multiple of N.")
+
+    nprime_pts = x.shape[-1] // dec
+    taps = jnp.flip(f_tap.astype(x.dtype))  # taps reversed: index L-1-j <-> f_tap[j]
+
+    # window for output row i covers x[i*dec - (L-1) .. i*dec]; pad front with
+    # L-1 zeros (plus one more slot so slice i*dec+L stays in range at i=0).
+    xp = jnp.concatenate([jnp.zeros(L - 1, dtype=x.dtype), x])
+
+    def row(i):
+        w = jax.lax.dynamic_slice(xp, (i * dec,), (L,))
+        # w[k] = x[i*dec - (L-1) + k]; with reversed taps the product aligns
+        # x[i*dec - j] * f_tap[j].
+        prod = w * taps
+        # fold: dft_in[a] = sum_b prod at j = b*n + a -> reversed index k = L-1-j
+        folded = jnp.flip(prod).reshape(L // n, n).sum(axis=0)
+        return folded
+
+    dft_in = jax.vmap(row)(jnp.arange(nprime_pts))
+    out = jnp.fft.ifft(dft_in, axis=-1) * n
+
+    if n == 2 * dec:
+        # negate odd channels on odd rows
+        row_sign = jnp.where(jnp.arange(nprime_pts) % 2 == 1, -1.0, 1.0)
+        chan_odd = (jnp.arange(n) % 2 == 1)
+        flip = jnp.where(chan_odd[None, :], row_sign[:, None], 1.0)
+        out = out * flip.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+class Channeliser:
+    """Streaming WOLA channelizer (reference Channeliser,
+    filterRoutines.py:638): keeps a filter-length delay line, prepends it each
+    call, and discards the first len(f_tap)/Dec warm-up rows so consecutive
+    blocks concatenate exactly.
+    """
+
+    def __init__(self, num_taps: int | None = None, num_channels: int = 64,
+                 dec: int | None = None, f_tap=None, dtype=jnp.complex64):
+        if dec is None:
+            dec = num_channels
+        self.dec = int(dec)
+        self.num_channels = int(num_channels)
+        if f_tap is None:
+            from scipy import signal as sps
+            f_tap = sps.firwin(num_taps, 1.0 / dec)
+        self.f_tap = jnp.asarray(f_tap, dtype=jnp.float32)
+        self.dtype = jnp.dtype(dtype)
+        if self.f_tap.shape[-1] % self.num_channels != 0:
+            raise ValueError("numTaps must be a multiple of numChannels.")
+        self.jump = int(self.f_tap.shape[-1] // self.dec)
+        self.reset()
+
+    def reset(self):
+        self.delay = jnp.zeros(self.f_tap.shape[-1], dtype=self.dtype)
+
+    def channelise(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Channelize one block; returns (floor(len(x)/dec), num_channels).
+
+        Requires len(x) to be a multiple of dec for seamless streaming (the
+        reference C path requires the same of its input length).
+        """
+        x = jnp.asarray(x, dtype=self.dtype)
+        y = jnp.concatenate([self.delay, x])
+        channels = wola(self.f_tap, y, self.dec, self.num_channels)
+        self.delay = x[-self.f_tap.shape[-1]:]
+        return channels[self.jump:, :]
+
+    def channel_freqs(self, fs: float = 1.0):
+        """Centre frequency of each channel (reference channelFreqs)."""
+        return make_freq(self.num_channels, fs)
+
+    def channel_fs(self, fs: float = 1.0) -> float:
+        """Per-channel output sampling rate (reference channelFs)."""
+        return fs / self.dec

@@ -1,0 +1,122 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sps
+
+from pydsproutines_tpu.ops.filters import (
+    lfilter_fir,
+    StreamFilter,
+    upfirdn,
+    get_upfirdn_size,
+    StreamUpfirdn,
+    moving_average,
+    complex_moving_sum,
+    medfilt,
+    resample_factor_wizard,
+)
+
+
+def test_lfilter_fir_matches_scipy(rng):
+    taps = sps.firwin(31, 0.25)
+    x = (rng.standard_normal(500) + 1j * rng.standard_normal(500))
+    ours = np.asarray(lfilter_fir(jnp.asarray(taps), jnp.asarray(x)))
+    ref = sps.lfilter(taps, 1.0, x)
+    assert np.max(np.abs(ours - ref)) < 1e-9
+
+
+def test_lfilter_fir_fft_method(rng):
+    taps = sps.firwin(129, 0.1)
+    x = (rng.standard_normal(2000) + 1j * rng.standard_normal(2000))
+    ours = np.asarray(lfilter_fir(jnp.asarray(taps), jnp.asarray(x), method="fft"))
+    ref = sps.lfilter(taps, 1.0, x)
+    assert np.max(np.abs(ours - ref)) < 1e-7
+
+
+def test_stream_filter_block_continuity(rng):
+    """Filtering in blocks must equal filtering the whole signal at once
+    (reference CupyFilter delay-line semantics)."""
+    taps = sps.firwin(64, 0.2)
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024))
+    ref = sps.lfilter(taps, 1.0, x)
+
+    sf = StreamFilter(jnp.asarray(taps), dtype=jnp.complex128)
+    blocks = [np.asarray(sf.lfilter(jnp.asarray(x[i: i + 256])))
+              for i in range(0, 1024, 256)]
+    ours = np.concatenate(blocks)
+    assert np.max(np.abs(ours - ref)) < 1e-9
+
+
+def test_upfirdn_matches_scipy(rng):
+    taps = sps.firwin(48, 0.2)
+    x = rng.standard_normal(301) + 1j * rng.standard_normal(301)
+    for up, down in [(1, 1), (3, 2), (2, 3), (5, 4), (1, 7)]:
+        ours = np.asarray(upfirdn(jnp.asarray(taps), jnp.asarray(x), up, down))
+        ref = sps.upfirdn(taps, x, up, down)
+        assert ours.shape == ref.shape, (up, down, ours.shape, ref.shape)
+        assert get_upfirdn_size(len(x), len(taps), up, down) == len(ref)
+        assert np.max(np.abs(ours - ref)) < 1e-9, (up, down)
+
+
+def test_upfirdn_batched_rows(rng):
+    taps = sps.firwin(16, 0.3)
+    x = rng.standard_normal((3, 100)) + 1j * rng.standard_normal((3, 100))
+    ours = np.asarray(upfirdn(jnp.asarray(taps), jnp.asarray(x), 2, 3))
+    for i in range(3):
+        ref = sps.upfirdn(taps, x[i], 2, 3)
+        assert np.max(np.abs(ours[i] - ref)) < 1e-9
+
+
+def test_stream_upfirdn_continuity(rng):
+    """Block-wise resample matches the reference run_upfirdn skip logic."""
+    taps = sps.firwin(32, 0.25)
+    up, down, mem = 2, 4, 64
+    x = rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
+
+    su = StreamUpfirdn(jnp.asarray(taps), up, down, memory=mem,
+                       dtype=jnp.complex128)
+    blocks = [np.asarray(su.resample(jnp.asarray(x[i: i + 256])))
+              for i in range(0, 1024, 256)]
+    ours = np.concatenate(blocks)
+
+    # reference equivalent: upfirdn of [zeros(mem), x] with the same skip
+    full = sps.upfirdn(taps, np.concatenate([np.zeros(mem), x[:256]]), up, down)
+    skip = mem * up // down
+    assert np.allclose(blocks[0], full[skip: skip + 256 * up // down])
+    # continuity: block 2 must continue where an extended run would
+    full2 = sps.upfirdn(taps, np.concatenate([x[256 - mem: 256], x[256:512]]), up, down)
+    assert np.allclose(blocks[1], full2[skip: skip + 256 * up // down])
+
+
+def test_moving_average_matches_lfilter(rng):
+    L = 8
+    x = rng.standard_normal(100).astype(np.float32)
+    ours = np.asarray(moving_average(jnp.asarray(x), L))
+    ref = sps.lfilter(np.ones(L) / L, 1.0, x)
+    assert np.max(np.abs(ours - ref)) < 1e-5
+    # 2-D rows
+    x2 = rng.standard_normal((4, 64)).astype(np.float32)
+    ours2 = np.asarray(moving_average(jnp.asarray(x2), L))
+    for i in range(4):
+        ref2 = sps.lfilter(np.ones(L) / L, 1.0, x2[i])
+        assert np.max(np.abs(ours2[i] - ref2)) < 1e-5
+
+
+def test_complex_moving_sum(rng):
+    L = 5
+    x = (rng.standard_normal(50) + 1j * rng.standard_normal(50)).astype(np.complex64)
+    ours = np.asarray(complex_moving_sum(jnp.asarray(x), L))
+    ref = np.array([np.abs(np.sum(x[i: i + L])) ** 2 for i in range(50 - L + 1)])
+    assert ours.shape == (46,)
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+
+def test_medfilt_matches_scipy(rng):
+    x = rng.standard_normal(200)
+    for k in (3, 5, 9):
+        ours = np.asarray(medfilt(jnp.asarray(x), k))
+        ref = sps.medfilt(x, k)
+        assert np.max(np.abs(ours - ref)) < 1e-12, k
+
+
+def test_resample_factor_wizard():
+    assert resample_factor_wizard(48000, 44100) == (147, 160)
+    assert resample_factor_wizard(100, 200) == (2, 1)

@@ -1,0 +1,87 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sps
+
+from pydsproutines_tpu.ops.wola import wola, Channeliser
+
+
+def _np_wola_reference(f_tap, x, Dec, N):
+    """Direct re-derivation of the reference wola() loop
+    (filterRoutines.py:578)."""
+    L = len(f_tap)
+    nprimePts = len(x) // Dec
+    out = np.zeros((nprimePts, N), dtype=np.complex128)
+    for nprime in range(nprimePts):
+        n = nprime * Dec
+        dft_in = np.zeros(N, dtype=np.complex128)
+        for a in range(N):
+            for b in range(L // N):
+                if n - (b * N + a) >= 0:
+                    dft_in[a] += x[n - (b * N + a)] * f_tap[b * N + a]
+        out[nprime] = np.fft.ifft(dft_in) * N
+        if Dec * 2 == N and nprime % 2 != 0:
+            out[nprime][1::2] = -out[nprime][1::2]
+    return out
+
+
+def test_wola_matches_reference_n_eq_dec(rng):
+    N = Dec = 8
+    f_tap = sps.firwin(8 * N, 1.0 / Dec)
+    x = (rng.standard_normal(256) + 1j * rng.standard_normal(256))
+    ours = np.asarray(wola(jnp.asarray(f_tap), jnp.asarray(x), Dec, N))
+    ref = _np_wola_reference(f_tap, x, Dec, N)
+    assert ours.shape == ref.shape
+    assert np.max(np.abs(ours - ref)) < 1e-9
+
+
+def test_wola_matches_reference_n_eq_2dec(rng):
+    Dec, N = 4, 8
+    f_tap = sps.firwin(4 * N, 1.0 / Dec)
+    x = (rng.standard_normal(200) + 1j * rng.standard_normal(200))
+    ours = np.asarray(wola(jnp.asarray(f_tap), jnp.asarray(x), Dec, N))
+    ref = _np_wola_reference(f_tap, x, Dec, N)
+    assert np.max(np.abs(ours - ref)) < 1e-9
+
+
+def test_wola_channel_extraction(rng):
+    """A tone centred on channel k should appear with dominant energy in
+    channel k of the WOLA output."""
+    N = Dec = 16
+    fs = 1.0
+    f_tap = sps.firwin(8 * N, 1.0 / Dec)
+    k = 3
+    f0 = k / N * fs
+    nsamps = 4096
+    t = np.arange(nsamps)
+    x = np.exp(1j * 2 * np.pi * f0 * t / fs)
+    out = np.asarray(wola(jnp.asarray(f_tap), jnp.asarray(x), Dec, N))
+    energy = np.mean(np.abs(out[8:]) ** 2, axis=0)  # skip warm-up
+    assert np.argmax(energy) == k
+    assert energy[k] > 100 * np.sort(energy)[-2]
+
+
+def test_channeliser_streaming_continuity(rng):
+    """Two sequential channelise() calls must equal one call on the
+    concatenated input (reference Channeliser delay + warm-up discard)."""
+    Dec = N = 8
+    numtaps = 4 * N
+    x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(np.complex64)
+
+    c1 = Channeliser(num_taps=numtaps, num_channels=N, dec=Dec)
+    out_a = np.asarray(c1.channelise(jnp.asarray(x[:256])))
+    out_b = np.asarray(c1.channelise(jnp.asarray(x[256:])))
+    seq = np.vstack([out_a, out_b])
+
+    c2 = Channeliser(num_taps=numtaps, num_channels=N, dec=Dec)
+    full = np.asarray(c2.channelise(jnp.asarray(x)))
+
+    assert seq.shape == full.shape
+    assert np.max(np.abs(seq - full)) < 1e-5
+
+
+def test_channeliser_freqs():
+    c = Channeliser(num_taps=32, num_channels=8, dec=8)
+    f = np.asarray(c.channel_freqs(8000.0))
+    assert f[0] == 0
+    assert f.min() < 0  # wrapped axis
+    assert c.channel_fs(8000.0) == 1000.0
