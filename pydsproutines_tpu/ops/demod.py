@@ -1,0 +1,424 @@
+"""PSK and CPFSK demodulation.
+
+Reference semantics: /root/reference/demodulationRoutines.py
+(SimpleDemodulatorPSK :44 — getEyeOpening :101, mapSyms :112, lockPhase :139,
+ambleRotate :194, symsToBits :244, unpack/pack :273/:318, findPlainText :340,
+detect_B_or_Q :396; SimpleDemodulatorBPSK :455, SimpleDemodulatorQPSK :475,
+SimpleDemodulator8PSK :520; demodulateCP2FSK :1214; BurstyDemodulatorCP2FSK
+:1261; ML_demod_QPSK :1366) and the fused GPU chain in
+custom_kernels/demodulation.cu / eyeOpeningKernel.cu.
+
+TPU-first design: every stage is batched and branch-free. The phase lock uses
+the closed-form 2x2 symmetric eigen-decomposition (the same trick as the
+reference's lockPhase_mapSyms_singleBlkKernel_qpsk CUDA kernel,
+demodulation.cu:857-870) instead of an SVD; symbol mapping is a dot-product
+against constellation vectors (an MXU matmul); the preamble rotation search is
+a one-hot gather-sum over (shift, rotation). Everything vmaps over bursts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pydsproutines_tpu.utils.dtypes import real_dtype_for
+
+# Constellations: monotonically increasing angle index (reference pskdicts).
+_SQ2 = np.sqrt(2.0) / 2.0
+PSK_CONSTS = {
+    2: np.array([1.0, -1.0], dtype=np.complex128),
+    4: np.array([1.0, 1.0j, -1.0, -1.0j], dtype=np.complex128),
+    8: np.array([1.0, _SQ2 * (1 + 1j), 1.0j, _SQ2 * (-1 + 1j),
+                 -1.0, _SQ2 * (-1 - 1j), -1.0j, _SQ2 * (1 - 1j)],
+                dtype=np.complex128),
+}
+# Gray bit mapping per increasing angle index (reference pskbitmaps).
+PSK_BITMAPS = {
+    2: np.array([0b1, 0b0], dtype=np.uint8),
+    4: np.array([0b11, 0b01, 0b00, 0b10], dtype=np.uint8),
+    8: np.array([0b000, 0b001, 0b011, 0b010, 0b110, 0b111, 0b101, 0b100],
+                dtype=np.uint8),
+}
+
+
+# ---------------------------------------------------------------------------
+# Stage functions (all jit/vmap friendly)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("osr",))
+def get_eye_opening(x: jnp.ndarray, osr: int):
+    """Best sampling phase by maximum mean |x| over OSR phases (reference
+    getEyeOpening, demodulationRoutines.py:101; batched GPU variant
+    eyeOpeningKernel.cu:5). Returns (resampled syms, phase index, metric)."""
+    x_rs = x.reshape(-1, osr)
+    metric = jnp.mean(jnp.abs(x_rs), axis=0)
+    i = jnp.argmax(metric)
+    return x_rs[:, i], i, metric
+
+
+def _sym_eig2(a, b, c):
+    """Eigen-decomposition of [[a, b], [b, c]]: returns (lam_max, lam_min,
+    angle of principal eigenvector)."""
+    tr = a + c
+    half_diff = (a - c) / 2
+    root = jnp.sqrt(half_diff * half_diff + b * b)
+    lam_max = tr / 2 + root
+    lam_min = tr / 2 - root
+    theta = 0.5 * jnp.arctan2(2 * b, a - c)
+    return lam_max, lam_min, theta
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def lock_phase(reim: jnp.ndarray, m: int):
+    """Blind phase lock: raise to m/2 power (fold to BPSK), form the 2x2 real
+    self-product, take the principal eigenvector angle (reference lockPhase,
+    demodulationRoutines.py:139 — SVD there, closed-form 2x2 eig here, as the
+    reference's own CUDA kernel does). Returns (corrected, svd_metric, angle).
+    """
+    powerup = m // 2
+    reimp = reim ** powerup
+    re, im = reimp.real, reimp.imag
+    a = jnp.sum(re * re)
+    b = jnp.sum(re * im)
+    c = jnp.sum(im * im)
+    lam_max, lam_min, theta = _sym_eig2(a, b, c)
+    svd_metric = lam_min / lam_max
+    corrected = reim * jnp.exp(-1j * theta / powerup)
+    return corrected, svd_metric, theta
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def map_syms(reimc: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Map phase-locked samples to symbol indices 0..m-1 by max dot product
+    with the constellation vectors (reference mapSyms,
+    demodulationRoutines.py:112) — an MXU matmul over (N, 2) x (2, m)."""
+    const = jnp.asarray(PSK_CONSTS[m], dtype=reimc.dtype)
+    rdt = real_dtype_for(reimc.dtype)
+    vecs = jnp.stack([const.real, const.imag]).astype(rdt)   # (2, m)
+    pts = jnp.stack([reimc.real, reimc.imag], axis=-1).astype(rdt)  # (N, 2)
+    metric = pts @ vecs                                      # (N, m)
+    return jnp.argmax(metric, axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def map_syms_bpsk(reimc: jnp.ndarray) -> jnp.ndarray:
+    """Specialized BPSK mapping: sign of the real part (reference
+    SimpleDemodulatorBPSK.mapSyms, demodulationRoutines.py:463)."""
+    return (reimc.real < 0).astype(jnp.uint8)
+
+
+_GRAY4 = np.array([[2, 1], [3, 0]], dtype=np.uint8)
+
+
+@jax.jit
+def map_syms_qpsk(reimc: jnp.ndarray) -> jnp.ndarray:
+    """Specialized QPSK quadrant-gray mapping (reference
+    SimpleDemodulatorQPSK.mapSyms, demodulationRoutines.py:492). Assumes the
+    constellation has been rotated into the 'box' (correctPhase adds pi/4)."""
+    gray4 = jnp.asarray(_GRAY4)
+    xp = (reimc.real > 0).astype(jnp.int32)
+    yp = (reimc.imag > 0).astype(jnp.int32)
+    return gray4[xp, yp].astype(jnp.uint8)
+
+
+@jax.jit
+def map_syms_8psk(reimc: jnp.ndarray, eo_scaling) -> jnp.ndarray:
+    """Specialized 8PSK 3-comparator mapping (reference
+    SimpleDemodulator8PSK.mapSyms, demodulationRoutines.py:540). ``eo_scaling``
+    is the max eye-opening metric (amplitude scale)."""
+    map8 = np.zeros((2, 2, 2), dtype=np.uint8)
+    map8[1, 1, 1] = 0; map8[0, 1, 1] = 1; map8[1, 0, 1] = 2; map8[0, 0, 1] = 3
+    map8[1, 1, 0] = 4; map8[0, 0, 0] = 5; map8[1, 0, 0] = 6; map8[0, 1, 0] = 7
+    map8 = jnp.asarray(map8)
+
+    x, y = reimc.real, reimc.imag
+    thresh = jnp.abs(jnp.abs(jnp.cos(np.pi / 8) * eo_scaling)
+                     - jnp.abs(jnp.sin(np.pi / 8) * eo_scaling))
+    xmy = jnp.abs(x) - jnp.abs(y)
+    z = jnp.abs(xmy) - thresh
+    c1z = z > 0
+    cx2 = x > 0
+    cy2 = y > 0
+    cxmy2 = xmy > 0
+    cx3 = cxmy2 & cx2
+    cy3 = (~cxmy2) & cy2
+    idx1 = (c1z & cxmy2) | ((~c1z) & cx2)
+    idx2 = (c1z & (cx3 | cy3)) | ((~c1z) & cy2)
+    idx0 = c1z
+    return map8[idx0.astype(jnp.int32), idx1.astype(jnp.int32),
+                idx2.astype(jnp.int32)].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "search_len", "amble_len"))
+def compare_int_preambles(amble: jnp.ndarray, syms: jnp.ndarray, m: int,
+                          search_start: int, search_len: int,
+                          amble_len: int) -> jnp.ndarray:
+    """Count preamble matches per (shift, rotation): matches[i, (p-s) % m] +=1
+    (reference compareIntPreambles C routine,
+    cython_ext/compareIntPreambles/compareIntPreambles.c:13). Vectorized as a
+    one-hot sum — batched over all shifts and rotations at once."""
+    shifts = search_start + jnp.arange(search_len)
+    idx = shifts[:, None] + jnp.arange(amble_len)[None, :]
+    windows = syms[idx].astype(jnp.int32)                    # (S, L)
+    diff = jnp.mod(amble.astype(jnp.int32)[None, :] - windows, m)
+    onehot = jax.nn.one_hot(diff, m, dtype=jnp.uint32)       # (S, L, m)
+    return jnp.sum(onehot, axis=1)                           # (S, m)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def syms_to_bits(syms: jnp.ndarray, m: int, bitmap=None,
+                 phase_sym_shift: int = 0) -> jnp.ndarray:
+    """Map symbol indices to bit values via (rolled) bitmap (reference
+    symsToBits, demodulationRoutines.py:244)."""
+    bm = jnp.asarray(PSK_BITMAPS[m] if bitmap is None else bitmap)
+    return jnp.roll(bm, phase_sym_shift)[syms]
+
+
+def unpack_to_binary_bytes(packed: np.ndarray, m: int) -> np.ndarray:
+    """One byte per bit expansion of symbol bit values (reference
+    unpackToBinaryBytes, demodulationRoutines.py:273). Host-side numpy."""
+    bits_per_val = int(np.log2(m))
+    unpacked = np.unpackbits(np.asarray(packed, dtype=np.uint8)).reshape(-1, 8)
+    return unpacked[:, -bits_per_val:]
+
+
+def pack_binary_bytes_to_bits(unpacked: np.ndarray) -> np.ndarray:
+    """np.packbits over the flattened unpacked matrix (reference
+    packBinaryBytesToBits, demodulationRoutines.py:318)."""
+    return np.packbits(np.asarray(unpacked).reshape(-1))
+
+
+def find_plain_text(syms: np.ndarray, m: int, bitmap=None,
+                    phase_sym_shift: int = 0):
+    """Search symbol alignments for the most readable UTF-8 characters
+    (reference findPlainText, demodulationRoutines.py:340). Host-side."""
+    syms = np.asarray(syms)
+    symbol_skips = np.arange(np.lcm(m, 8), dtype=np.uint32)
+    utf8chars = np.zeros(symbol_skips.size, dtype=np.uint32)
+    for i, skip in enumerate(symbol_skips):
+        mapped = np.asarray(syms_to_bits(jnp.asarray(syms[skip:]), m, bitmap,
+                                         phase_sym_shift))
+        packed = pack_binary_bytes_to_bits(unpack_to_binary_bytes(mapped, m))
+        utf8chars[i] = np.count_nonzero((packed >= 0x21) & (packed <= 0x7E))
+    return int(np.argmax(utf8chars)), utf8chars
+
+
+@jax.jit
+def detect_b_or_q(reim: jnp.ndarray, threshold: float = 0.5):
+    """BPSK-vs-QPSK classification via the 2x2 self-product eigenvalue ratio
+    (reference detect_B_or_Q, demodulationRoutines.py:396). Row-wise for 2-D
+    input. Returns (m array: 2 or 4, ratio array)."""
+    reim2 = jnp.atleast_2d(reim)
+    re, im = reim2.real, reim2.imag
+    a = jnp.sum(re * re, axis=-1)
+    b = jnp.sum(re * im, axis=-1)
+    c = jnp.sum(im * im, axis=-1)
+    lam_max, lam_min, _ = _sym_eig2(a, b, c)
+    ratio = lam_min / lam_max
+    m = jnp.where(ratio < threshold, 2, 4).astype(jnp.uint8)
+    return m, ratio
+
+
+# ---------------------------------------------------------------------------
+# Demodulator classes (reference-compatible workflow)
+# ---------------------------------------------------------------------------
+
+class SimpleDemodulatorPSK:
+    """Generic BPSK/QPSK/8PSK demodulator: eye-opening -> blind phase lock ->
+    constellation mapping (reference SimpleDemodulatorPSK,
+    demodulationRoutines.py:44)."""
+
+    def __init__(self, m: int, bitmap=None, cluster_threshold: float = 0.1):
+        self.m = int(m)
+        self.bitmap = PSK_BITMAPS[self.m] if bitmap is None else np.asarray(bitmap)
+        self.cluster_threshold = cluster_threshold
+        # interim outputs (reference attribute parity)
+        self.xeo = None
+        self.xeo_i = None
+        self.eo_metric = None
+        self.reimc = None
+        self.svd_metric = None
+        self.angleCorrection = None
+        self.syms = None
+        self.matches = None
+
+    # subclass hooks -------------------------------------------------------
+    def _correct_phase(self, reim, phase):
+        return reim * jnp.exp(1j * phase)
+
+    def _map(self, reimc):
+        return map_syms(reimc, self.m)
+
+    # main chain -----------------------------------------------------------
+    def demod(self, x: jnp.ndarray, osr: int):
+        self.xeo, self.xeo_i, self.eo_metric = get_eye_opening(x, osr)
+        reimc, self.svd_metric, theta = lock_phase(self.xeo, self.m)
+        powerup = self.m // 2
+        self.angleCorrection = theta
+        self.reimc = self._correct_phase(self.xeo, -theta / powerup)
+        self.syms = self._map(self.reimc)
+        return self.syms
+
+    def amble_rotate(self, amble: jnp.ndarray, search=None, syms=None):
+        """Preamble search over shifts and constellation rotations (reference
+        ambleRotate, demodulationRoutines.py:194). Returns (rotated syms,
+        sample index, rotation, best match count)."""
+        syms = self.syms if syms is None else syms
+        amble = jnp.asarray(amble)
+        if search is None:
+            start, length = 0, syms.shape[-1] - amble.shape[-1] + 1
+        else:
+            search = np.asarray(search)
+            start, length = int(search[0]), int(search[-1] - search[0] + 1)
+        self.matches = compare_int_preambles(
+            amble, syms, self.m, start, length, amble.shape[-1])
+        flat = jnp.argmax(self.matches)
+        s, rotation = jnp.unravel_index(flat, self.matches.shape)
+        sample = start + s
+        rotated = jnp.mod(syms + rotation, self.m).astype(jnp.uint8)
+        best = self.matches[s, rotation]
+        return rotated, sample, rotation, best
+
+    def syms_to_bits(self, syms=None, phase_sym_shift: int = 0):
+        syms = self.syms if syms is None else syms
+        return syms_to_bits(syms, self.m, jnp.asarray(self.bitmap), phase_sym_shift)
+
+
+class SimpleDemodulatorBPSK(SimpleDemodulatorPSK):
+    """Specialized BPSK (reference :455)."""
+
+    def __init__(self, bitmap=None, cluster_threshold: float = 0.1):
+        super().__init__(2, bitmap, cluster_threshold)
+
+    def _map(self, reimc):
+        return map_syms_bpsk(reimc)
+
+
+class SimpleDemodulatorQPSK(SimpleDemodulatorPSK):
+    """Specialized QPSK with quadrant-gray comparators (reference :475)."""
+
+    def __init__(self, bitmap=None, cluster_threshold: float = 0.1):
+        super().__init__(4, bitmap, cluster_threshold)
+
+    def _correct_phase(self, reim, phase):
+        # rotate into the comparator 'box' (reference correctPhase adds pi/4)
+        return reim * jnp.exp(1j * (phase + np.pi / 4))
+
+    def _map(self, reimc):
+        return map_syms_qpsk(reimc)
+
+
+class SimpleDemodulator8PSK(SimpleDemodulatorPSK):
+    """Specialized 8PSK 3-comparator demodulator (reference :520)."""
+
+    def __init__(self, bitmap=None, cluster_threshold: float = 0.1):
+        super().__init__(8, bitmap, cluster_threshold)
+
+    def _map(self, reimc):
+        return map_syms_8psk(reimc, jnp.max(self.eo_metric))
+
+
+# ---------------------------------------------------------------------------
+# CPFSK demodulation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("up",))
+def demodulate_cp2fsk(syms: jnp.ndarray, h: float, up: int):
+    """2-tone dot-product CP2FSK demod (reference demodulateCP2FSK,
+    demodulationRoutines.py:1214). Returns (bits, bitCost, tones)."""
+    rdt = real_dtype_for(syms.dtype)
+    mvals = jnp.asarray([[-1.0], [1.0]], dtype=rdt)
+    phase = jnp.pi * h * jnp.arange(up, dtype=rdt) / up
+    tones = jnp.exp(1j * phase[None, :] * mvals).astype(syms.dtype)  # (2, up)
+    num_syms = syms.shape[-1] // up
+    folded = syms[: num_syms * up].reshape(num_syms, up)
+    # cost[k, i] = |vdot(symbol_i, tone_k)| = |sum(conj(symbol) * tone)|
+    prods = jnp.conj(folded) @ tones.T                        # (numSyms, 2)
+    bit_cost = jnp.abs(prods).T                               # (2, numSyms)
+    bits = jnp.argmax(bit_cost, axis=0).astype(jnp.uint8)
+    return bits, bit_cost, tones
+
+
+class BurstyDemodulatorCP2FSK:
+    """Joint synchronous demodulation of regularly spaced CP2FSK bursts
+    (reference BurstyDemodulatorCP2FSK, demodulationRoutines.py:1261): one
+    correlation pass against both tones, then the per-symbol max costs are
+    summed across all bursts at each candidate alignment; the argmax alignment
+    demodulates every burst at once."""
+
+    def __init__(self, burst_len: int, guard_len: int, up: int = 1,
+                 h: float = 0.5):
+        self.burst_len = int(burst_len)
+        self.guard_len = int(guard_len)
+        self.period = self.burst_len + self.guard_len
+        self.up = int(up)
+        self.h = float(h)
+        self.burst_idxs = None
+        self.d_costs = None
+        self.search_idx = None
+
+    def set_burst_idxs(self, burst_idxs):
+        self.burst_idxs = np.asarray(burst_idxs)
+
+    def demod(self, x: jnp.ndarray, num_bursts: int | None = None,
+              search_idx=None):
+        if self.burst_idxs is None:
+            if num_bursts is None:
+                raise ValueError("set_burst_idxs() first or pass num_bursts")
+            self.set_burst_idxs(np.arange(num_bursts))
+
+        up, h = self.up, self.h
+        rdt = real_dtype_for(x.dtype)
+        phase = jnp.pi * h * jnp.arange(up, dtype=rdt) / up
+        gtone = jnp.exp(1j * phase).astype(x.dtype)
+        tones = jnp.stack([jnp.conj(gtone), gtone])           # (2, up)
+
+        # one-pass correlation: xc[k, i] = sum_j x[i+j] * conj(tones[k, j])
+        n_out = x.shape[-1] - up + 1
+        idx = jnp.arange(n_out)[:, None] + jnp.arange(up)[None, :]
+        windows = x[idx]                                      # (n_out, up)
+        xc = windows @ jnp.conj(tones).T                      # (n_out, 2)
+        xc_abs = jnp.abs(xc)
+        xc_argmax = jnp.argmax(xc_abs, axis=-1)
+        xc_max = jnp.max(xc_abs, axis=-1)
+
+        burst_starts = self.burst_idxs * self.period * up
+        symbol_spacing = np.arange(0, self.burst_len * up, up)
+        gen_idx = (burst_starts[:, None] + symbol_spacing[None, :]).flatten()
+
+        if search_idx is None:
+            search_idx = np.arange(n_out - int(gen_idx[-1]))
+        search_idx = np.asarray(search_idx)
+        gi = jnp.asarray(gen_idx)
+        si = jnp.asarray(search_idx)
+        costs = jnp.sum(xc_max[si[:, None] + gi[None, :]], axis=-1)
+        self.d_costs = costs
+        self.search_idx = search_idx
+
+        mi = si[jnp.argmax(costs)]
+        dbits = xc_argmax[mi + gi].reshape(-1, self.burst_len).astype(jnp.uint8)
+        return dbits, mi
+
+
+def ml_demod_qpsk(y: jnp.ndarray, h: jnp.ndarray, up: int, num_syms: int):
+    """Brute-force ML QPSK over all 4^num_syms sequences (reference
+    ML_demod_QPSK, demodulationRoutines.py:1366), fully batched: all candidate
+    symbol sequences are synthesized and convolved with the channel at once.
+    Returns (best base-4 sequence, best index, cost array)."""
+    total = 4 ** num_syms
+    # base-4 digits of every candidate, most significant first
+    ints = np.arange(total)
+    digits = np.stack([(ints // 4 ** (num_syms - 1 - k)) % 4
+                       for k in range(num_syms)], axis=1).astype(np.uint8)
+    syms = jnp.exp(1j * jnp.asarray(digits) * (np.pi / 2)).astype(y.dtype)
+    ups = jnp.zeros((total, num_syms * up), dtype=y.dtype)
+    ups = ups.at[:, ::up].set(syms)
+    h = jnp.asarray(h, dtype=y.dtype)
+    test = jax.vmap(lambda row: jnp.convolve(row, h, mode="full"))(ups)
+    test = test[:, up: up + y.shape[-1]]
+    cost = -jnp.linalg.norm(test - y[None, :], axis=-1)
+    ii = int(jnp.argmax(cost))
+    return digits[ii], ii, cost

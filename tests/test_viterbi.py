@@ -1,0 +1,133 @@
+import jax.numpy as jnp
+import numpy as np
+
+from pydsproutines_tpu.ops.viterbi import ViterbiDemodulator
+
+
+def _np_viterbi_reference(alphabet, pretransitions, pulses, omegas, up, y,
+                          pathlen, allowed_start=(0,)):
+    """Direct numpy re-derivation of the reference trellis
+    (viterbiDemodClasses.py:53-254)."""
+    A = len(alphabet)
+    L = pulses.shape[0]
+    pulselen = pulses.shape[1]
+    omegavecs = np.exp(1j * (-omegas[:, None] * np.arange(len(y) + pulselen)))
+
+    paths = np.zeros((A, pathlen), dtype=alphabet.dtype)
+    pathmetrics = np.full(A, np.inf)
+    for a in range(A):
+        if a not in allowed_start:
+            continue
+        paths[a, 0] = alphabet[a]
+        xall = np.zeros((L, pulselen), dtype=complex)
+        for i in range(L):
+            xc = np.convolve(pulses[i], paths[a, :1])[-pulselen:]
+            xall[i] = np.exp(1j * (-omegas[i] * np.arange(pulselen))) * xc
+        summed = xall.sum(axis=0)
+        pathmetrics[a] = np.linalg.norm(y[:up] - summed[:up]) ** 2
+
+    for n in range(1, pathlen):
+        branch = np.zeros(pretransitions.shape)
+        shortb = np.zeros_like(branch)
+        for p in range(A):
+            for t in range(pretransitions.shape[1]):
+                q = pretransitions[p, t]
+                if pathmetrics[q] == np.inf:
+                    branch[p, t] = np.inf
+                    shortb[p, t] = np.inf
+                    continue
+                guess = paths[q].copy()
+                guess[n] = alphabet[p]
+                upguess = np.zeros(pathlen * up, dtype=complex)
+                upguess[::up] = guess
+                s = max(n * up - pulselen + 1, 0)
+                xall = np.zeros((L, pulselen), dtype=complex)
+                for i in range(L):
+                    pad = np.pad(upguess[s: n * up + 1], (0, pulselen - 1))
+                    xc = np.convolve(pulses[i], pad)[len(pad) - 1:][:pulselen] \
+                        if False else None
+                    # scipy-lfilter equivalent: full conv truncated to input len
+                    xc = np.convolve(pulses[i], pad)[: len(pad)][-pulselen:]
+                    xall[i] = omegavecs[i, n * up: n * up + pulselen] * xc
+                summed = xall.sum(axis=0)
+                yseg = y[up * n: up * n + pulselen]
+                branch[p, t] = np.linalg.norm(yseg - summed[: len(yseg)]) ** 2
+                shortb[p, t] = np.linalg.norm(
+                    y[up * n: up * (n + 1)] - summed[:up]) ** 2
+        temppaths = paths.copy()
+        tempmetrics = pathmetrics.copy()
+        for p in range(A):
+            if np.all(branch[p] == np.inf):
+                tempmetrics[p] = np.inf
+                continue
+            bt = np.argmin(branch[p])
+            temppaths[p] = paths[pretransitions[p, bt]]
+            temppaths[p, n] = alphabet[p]
+            tempmetrics[p] = pathmetrics[pretransitions[p, bt]] + shortb[p, bt]
+        paths = temppaths
+        pathmetrics = tempmetrics
+
+    best = np.argmin(pathmetrics)
+    return paths[best], pathmetrics, paths
+
+
+def _make_cpm_setup():
+    """4-phase-state CPM-ish setup: alphabet = 4 phases, transitions allow
+    +/-1 phase steps, single source, rectangular pulse over 2 symbols."""
+    A = 4
+    alphabet = np.exp(1j * np.arange(A) * np.pi / 2).astype(np.complex128)
+    pretransitions = np.array([[(p - 1) % A, (p + 1) % A] for p in range(A)],
+                              dtype=np.int32)
+    up = 4
+    pulselen = 2 * up
+    pulses = (np.ones((1, pulselen)) * 0.5).astype(np.complex128)
+    omegas = np.array([0.05])
+    return alphabet, pretransitions, pulses, omegas, up
+
+
+def _synthesize(alphabet_path, pulses, omegas, up, nsamps):
+    ups = np.zeros(nsamps, dtype=complex)
+    ups[: len(alphabet_path) * up: up] = alphabet_path
+    y = np.zeros(nsamps, dtype=complex)
+    for i in range(pulses.shape[0]):
+        xc = np.convolve(pulses[i], ups)[:nsamps]
+        y += xc * np.exp(1j * (-omegas[i] * np.arange(nsamps)))
+    return y
+
+
+def test_viterbi_matches_numpy_reference_on_noisy_input(rng):
+    alphabet, pre, pulses, omegas, up = _make_cpm_setup()
+    pathlen = 12
+    nsamps = pathlen * up + pulses.shape[1]
+    # random noisy observation — the trellis decisions must still agree
+    y = (rng.standard_normal(nsamps) + 1j * rng.standard_normal(nsamps))
+
+    ref_path, ref_metrics, ref_paths = _np_viterbi_reference(
+        alphabet, pre, pulses, omegas, up, y, pathlen)
+
+    vd = ViterbiDemodulator(alphabet, pre, pulses, omegas, up)
+    best_path, metrics, paths = vd.run(jnp.asarray(y), pathlen)
+
+    assert np.allclose(np.asarray(metrics), ref_metrics, rtol=1e-4)
+    assert np.max(np.abs(np.asarray(best_path) - ref_path)) < 1e-5
+
+
+def test_viterbi_recovers_clean_path(rng):
+    """On a noiseless synthesized signal the decoder must recover the true
+    symbol sequence exactly."""
+    alphabet, pre, pulses, omegas, up = _make_cpm_setup()
+    pathlen = 20
+    # random walk respecting transitions, starting at state 0
+    states = [0]
+    for _ in range(pathlen - 1):
+        step = rng.choice([-1, 1])
+        states.append((states[-1] + step) % 4)
+    states = np.array(states)
+    true_path = alphabet[states]
+    nsamps = pathlen * up + pulses.shape[1]
+    y = _synthesize(true_path, pulses, omegas, up, nsamps)
+
+    vd = ViterbiDemodulator(alphabet, pre, pulses, omegas, up)
+    best_path, metrics, paths = vd.run(jnp.asarray(y), pathlen)
+    assert np.max(np.abs(np.asarray(best_path) - true_path)) < 1e-4
+    assert float(jnp.min(metrics)) < 1e-6 * nsamps
