@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: frequency-scanning FFT cross-correlation (the
+reference's north-star workload, benchmarks/README.md: 1M-sample cutout x 128
+shifts — NumPy 15.9 s, Cython/IPP 3.9 s, CuPy GPU 0.29 s).
+
+Runs fast_xcorr with freq scan on the real TPU chip and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value = effective sliding-window rate in G(sample*shift)/s; vs_baseline is
+relative to the reference's best published GPU number (1e6*128 products in
+0.29 s = 0.4414 G/s).
+
+I/O is real-valued float32 (complex formed inside jit): the axon TPU transport
+cannot transfer complex arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    from pydsproutines_tpu.ops.xcorr import _fast_xcorr_impl
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nshifts = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    rxlen = n + nshifts
+    rng = np.random.default_rng(0)
+    cutout_ri = rng.standard_normal((2, n), dtype=np.float32)
+    rx_ri = rng.standard_normal((2, rxlen), dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    def step(cut_ri, r_ri, shifts, batch_size):
+        cut = jax.lax.complex(cut_ri[0], cut_ri[1])
+        r = jax.lax.complex(r_ri[0], r_ri[1])
+        qf2, freqs = _fast_xcorr_impl(
+            cut, r, shifts, n=n, freqsearch=True, output_caf=False,
+            abs_result=True, batch_size=batch_size)
+        return qf2, freqs.astype(jnp.int32)
+
+    shifts = jnp.arange(nshifts)
+    d_cut = jax.device_put(jnp.asarray(cutout_ri))
+    d_rx = jax.device_put(jnp.asarray(rx_ri))
+
+    # compile + warm up
+    out = step(d_cut, d_rx, shifts, batch)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(d_cut, d_rx, shifts, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    rate = n * nshifts / dt / 1e9            # G(sample*shift)/s
+    baseline = 1_000_000 * 128 / 0.29 / 1e9  # reference GPU best: 0.4414 G/s
+    print(json.dumps({
+        "metric": f"fft_xcorr_freqscan_{n//1_000_000}Mx{nshifts}",
+        "value": round(rate, 4),
+        "unit": "Gsample-shift/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

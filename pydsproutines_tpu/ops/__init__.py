@@ -34,6 +34,32 @@ from pydsproutines_tpu.ops.detection import (
     BurstDetector,
     energy_detection,
 )
+from pydsproutines_tpu.ops.groupxcorr import (
+    GroupXcorr,
+    GroupXcorrCZT,
+    GroupXcorrFFT,
+    TemplateCrossCorrelator,
+)
+from pydsproutines_tpu.ops.demod import (
+    SimpleDemodulatorPSK,
+    SimpleDemodulatorBPSK,
+    SimpleDemodulatorQPSK,
+    SimpleDemodulator8PSK,
+    BurstyDemodulatorCP2FSK,
+    demodulate_cp2fsk,
+    detect_b_or_q,
+    ml_demod_qpsk,
+)
+from pydsproutines_tpu.ops.viterbi import ViterbiDemodulator
+from pydsproutines_tpu.ops.music import MUSIC, CAPON, ESPRIT, music_alg
+from pydsproutines_tpu.ops.cyclostationary import (
+    PSKOrderDetector,
+    estimate_baud,
+    estimate_offset_via_cm,
+)
+from pydsproutines_tpu.ops.matrixprofile import MatrixProfile, matrix_profile
+from pydsproutines_tpu.ops.cancellation import cancel_signal_at_idx
+from pydsproutines_tpu.ops.minmax import multichannel_minmax_scale
 from pydsproutines_tpu.ops.xcorr import (
     fast_xcorr,
     czt_xcorr,
@@ -51,6 +77,30 @@ from pydsproutines_tpu.ops.xcorr import (
 )
 
 __all__ = [
+    "GroupXcorr",
+    "GroupXcorrCZT",
+    "GroupXcorrFFT",
+    "TemplateCrossCorrelator",
+    "SimpleDemodulatorPSK",
+    "SimpleDemodulatorBPSK",
+    "SimpleDemodulatorQPSK",
+    "SimpleDemodulator8PSK",
+    "BurstyDemodulatorCP2FSK",
+    "demodulate_cp2fsk",
+    "detect_b_or_q",
+    "ml_demod_qpsk",
+    "ViterbiDemodulator",
+    "MUSIC",
+    "CAPON",
+    "ESPRIT",
+    "music_alg",
+    "PSKOrderDetector",
+    "estimate_baud",
+    "estimate_offset_via_cm",
+    "MatrixProfile",
+    "matrix_profile",
+    "cancel_signal_at_idx",
+    "multichannel_minmax_scale",
     "lfilter_fir",
     "StreamFilter",
     "upfirdn",

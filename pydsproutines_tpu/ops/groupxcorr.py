@@ -1,0 +1,281 @@
+"""Group cross-correlation: coherent CAF combining of disjoint burst groups,
+and multi-template FFT matched filtering.
+
+Reference semantics: /root/reference/xcorrRoutines.py (GroupXcorr :852,
+GroupXcorrCZT :957, GroupXcorrFFT :1047 with threaded/GPU variants,
+TemplateCrossCorrelator :277) plus the native ports
+(pybinds/ippGroupXcorrCZT/GroupXcorrCZT.cpp, cython_ext/CyGroupXcorrFFT).
+
+The group xcorr evaluates, for each candidate shift and scan frequency f,
+
+    | sum_g exp(-j*2*pi*f*start_g/fs) * CZT_or_FFT( rx[shift+start_g : ...]
+          * conj(y_g) )(f) |^2  /  sum_g ||rx group||^2  /  ||y||^2
+
+i.e. per-group product spectra phase-aligned by the group start times and
+summed coherently.
+
+TPU-first design: groups are padded to a common length and stacked, so a
+(shift-chunk x group) batch goes through ONE batched FFT/CZT; the coherent
+group combine is a matmul-like reduction; shift chunks stream through
+``lax.map``. The reference's thread-striped shift partitioning becomes mesh
+sharding (pydsproutines_tpu.parallel.xcorr applies unchanged since shifts are
+the outer axis).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pydsproutines_tpu.ops.spectral import CZT
+from pydsproutines_tpu.ops.xcorr import _chunked_map, _abs_sq
+from pydsproutines_tpu.utils.dtypes import real_dtype_for
+from pydsproutines_tpu.utils.fftlen import next_fast_len
+from pydsproutines_tpu.utils.freq import make_freq
+
+
+def _stack_groups(y: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
+                  auto_conj: bool) -> np.ndarray:
+    max_len = int(np.max(lengths))
+    ystack = np.zeros((len(starts), max_len), dtype=np.asarray(y).dtype)
+    for i, (s, l) in enumerate(zip(starts, lengths)):
+        ystack[i, :l] = np.asarray(y)[s: s + l]
+    return np.conj(ystack) if auto_conj else ystack
+
+
+class GroupXcorrCZT:
+    """Group xcorr over a CZT frequency grid (reference GroupXcorrCZT,
+    xcorrRoutines.py:957; C++ pybinds/ippGroupXcorrCZT).
+
+    Returns the full (shifts x freq bins) CAF from :meth:`xcorr`.
+    """
+
+    def __init__(self, y, starts, lengths, f1: float, f2: float,
+                 bin_width: float, fs: float, auto_conj: bool = True,
+                 auto_zero_starts: bool = True, dtype=jnp.complex64):
+        starts = np.asarray(starts)
+        lengths = np.asarray(lengths)
+        assert starts.size == lengths.size
+        if auto_zero_starts:
+            starts = starts - starts[0]
+        self.starts = starts
+        self.lengths = lengths
+        self.num_groups = starts.size
+        self.fs = float(fs)
+        self.max_length = int(np.max(lengths))
+
+        ystack = _stack_groups(np.asarray(y), starts, lengths, auto_conj)
+        self.ystack = jnp.asarray(ystack, dtype=dtype)
+        self.ystack_norm_sq = float(np.linalg.norm(ystack.flatten()) ** 2)
+
+        self.plan = CZT(self.max_length, f1, f2, bin_width, fs, dtype=dtype)
+        freqs = self.plan.freqs()
+        self.czt_freq = freqs
+        # per-group phase alignment exp(-j*2*pi*f*start/fs)
+        phases = np.exp(-2j * np.pi * freqs[None, :] * starts[:, None] / fs)
+        self.group_phases = jnp.asarray(phases, dtype=dtype)
+        # mask for valid samples per group row (groups padded to max_length)
+        self.group_mask = jnp.asarray(
+            np.arange(self.max_length)[None, :] < lengths[:, None])
+
+    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
+        if shifts is None:
+            shifts = jnp.arange(
+                rx.shape[-1] - (int(self.starts[-1]) + int(self.lengths[-1])) + 1)
+        shifts = jnp.asarray(shifts)
+        bs = int(min(batch_size, shifts.shape[0]))
+        xc = _group_xcorr_czt_impl(
+            rx, shifts, self.ystack, jnp.asarray(self.starts),
+            self.group_mask, self.group_phases, self.plan.aa, self.plan.fv,
+            self.plan.ww_tail, jnp.asarray(self.ystack_norm_sq,
+                                           dtype=real_dtype_for(rx.dtype)),
+            m=self.max_length, k=self.plan.k, nfft=self.plan.nfft,
+            batch_size=bs)
+        return xc, self.czt_freq
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k", "nfft", "batch_size"))
+def _group_xcorr_czt_impl(rx, shifts, ystack, starts, group_mask,
+                          group_phases, aa, fv, ww_tail, ystack_norm_sq, *,
+                          m, k, nfft, batch_size):
+    def one_shift(shift):
+        # gather every group's rx slice (padded to m), mask the padding
+        slices = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(rx, (shift + s,), (m,)))(starts)
+        slices = jnp.where(group_mask, slices, 0)
+        rx_norm_sq = jnp.sum(_abs_sq(slices))
+        pdt = slices * ystack                      # (G, m)
+        fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
+        g = jnp.fft.ifft(fy * fv, axis=-1)
+        pdtczt = g[:, m - 1: m + k - 1] * ww_tail  # (G, k)
+        combined = jnp.sum(pdtczt * group_phases, axis=0)
+        return _abs_sq(combined) / rx_norm_sq / ystack_norm_sq
+
+    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)
+
+
+class GroupXcorrFFT:
+    """Group xcorr over the FFT frequency grid (reference GroupXcorrFFT,
+    xcorrRoutines.py:1047; Cython CyGroupXcorrFFT). All groups share one
+    length; returns the (shifts x fftlen) CAF."""
+
+    def __init__(self, ygroups, starts, fs: float, auto_conj: bool = True,
+                 fftlen: int | None = None, auto_zero_starts: bool = True,
+                 dtype=jnp.complex64):
+        ygroups = np.asarray(ygroups)
+        starts = np.asarray(starts)
+        assert starts.size == ygroups.shape[0]
+        if auto_zero_starts:
+            starts = starts - starts[0]
+        self.starts = starts
+        self.num_groups = starts.size
+        self.fs = float(fs)
+        self.ygroup_len = ygroups.shape[1]
+        self.fftlen = int(fftlen) if fftlen is not None else self.ygroup_len
+        self.ygroup_norm_sq = float(np.linalg.norm(ygroups.flatten()) ** 2)
+        if auto_conj:
+            ygroups = np.conj(ygroups)
+        self.ygroups = jnp.asarray(ygroups, dtype=dtype)
+        fftfreq = np.asarray(make_freq(self.fftlen, fs, dtype=jnp.float64))
+        phases = np.exp(-2j * np.pi * fftfreq[None, :] * starts[:, None] / fs)
+        self.group_phases = jnp.asarray(phases, dtype=dtype)
+        self.fftfreq = fftfreq
+
+    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
+        if shifts is None:
+            shifts = jnp.arange(
+                rx.shape[-1] - (int(self.starts[-1]) + self.ygroup_len) + 1)
+        shifts = jnp.asarray(shifts)
+        bs = int(min(batch_size, shifts.shape[0]))
+        return _group_xcorr_fft_impl(
+            rx, shifts, self.ygroups, jnp.asarray(self.starts),
+            self.group_phases,
+            jnp.asarray(self.ygroup_norm_sq, dtype=real_dtype_for(rx.dtype)),
+            n=self.ygroup_len, fftlen=self.fftlen, batch_size=bs)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "fftlen", "batch_size"))
+def _group_xcorr_fft_impl(rx, shifts, ygroups, starts, group_phases,
+                          ygroup_norm_sq, *, n, fftlen, batch_size):
+    def one_shift(shift):
+        slices = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(rx, (shift + s,), (n,)))(starts)
+        rx_norm_sq = jnp.sum(_abs_sq(slices))
+        pdt = slices * ygroups                     # (G, n)
+        pdtfft = jnp.fft.fft(pdt, n=fftlen, axis=-1)
+        combined = jnp.sum(pdtfft * group_phases, axis=0)
+        return _abs_sq(combined) / rx_norm_sq / ygroup_norm_sq
+
+    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)
+
+
+class GroupXcorr:
+    """Group xcorr against an explicit frequency list via a tone-bank matmul
+    (reference GroupXcorr, xcorrRoutines.py:852). Returns per-shift peak QF^2
+    and peak frequency (flattened over the scan list)."""
+
+    def __init__(self, y, starts, lengths, freqs, fs: float,
+                 auto_conj: bool = True, auto_zero_starts: bool = True,
+                 dtype=jnp.complex64):
+        starts = np.asarray(starts)
+        lengths = np.asarray(lengths)
+        freqs = np.asarray(freqs, dtype=np.float64)
+        assert starts.size == lengths.size
+        if auto_zero_starts:
+            starts = starts - starts[0]
+        self.starts = starts
+        self.lengths = lengths
+        self.num_groups = starts.size
+        self.freqs = freqs
+        self.fs = float(fs)
+
+        y = np.asarray(y)
+        concat = np.hstack([y[s: s + l] for s, l in zip(starts, lengths)])
+        if auto_conj:
+            concat = np.conj(concat)
+        self.yconcat = jnp.asarray(concat, dtype=dtype)
+        self.yconcat_norm_sq = float(np.linalg.norm(concat) ** 2)
+        # tone bank over the *original sample positions* of the stitched groups
+        positions = np.hstack([np.arange(s, s + l)
+                               for s, l in zip(starts, lengths)])
+        mat = np.exp(-2j * np.pi * freqs[:, None] * positions[None, :] / fs)
+        self.freq_mat = jnp.asarray(mat, dtype=dtype)
+        # gather indices for stitching rx slices per shift
+        self.gather_idx = jnp.asarray(positions)
+
+    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 64):
+        if shifts is None:
+            shifts = jnp.arange(
+                rx.shape[-1] - (int(self.starts[-1]) + int(self.lengths[-1])) + 1)
+        shifts = jnp.asarray(shifts)
+        bs = int(min(batch_size, shifts.shape[0]))
+        freqs = jnp.asarray(self.freqs, dtype=real_dtype_for(rx.dtype))
+        return _group_xcorr_impl(
+            rx, shifts, self.yconcat, self.freq_mat, self.gather_idx, freqs,
+            jnp.asarray(self.yconcat_norm_sq, dtype=real_dtype_for(rx.dtype)),
+            batch_size=bs)
+
+
+@functools.partial(jax.jit, static_argnames=("batch_size",))
+def _group_xcorr_impl(rx, shifts, yconcat, freq_mat, gather_idx, freqs,
+                      yconcat_norm_sq, *, batch_size):
+    def one_shift(shift):
+        rxconcat = rx[shift + gather_idx]
+        rx_norm_sq = jnp.sum(_abs_sq(rxconcat))
+        p = rxconcat * yconcat
+        pf = freq_mat @ p                          # tone-bank matmul (MXU)
+        mag = _abs_sq(pf)
+        i = jnp.argmax(mag)
+        xc = mag[i] / rx_norm_sq / yconcat_norm_sq
+        return xc, freqs[i]
+
+    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)
+
+
+class TemplateCrossCorrelator:
+    """FFT-domain multi-template correlator with rolling-energy normalization
+    (reference TemplateCrossCorrelator, xcorrRoutines.py:277). Returns QF (not
+    QF^2), matching the reference."""
+
+    def __init__(self, templates, input_size: int, dtype=jnp.complex64):
+        templates = np.asarray(templates)
+        if templates.ndim != 2:
+            raise ValueError("Templates must be 2D; 1 row per template.")
+        self.input_size = int(input_size)
+        self.template_len = templates.shape[1]
+        self.template_norms = jnp.asarray(
+            np.linalg.norm(templates, axis=1),
+            dtype=real_dtype_for(jnp.dtype(dtype)))
+        padded = np.zeros((templates.shape[0], input_size), templates.dtype)
+        padded[:, : self.template_len] = templates
+        self.templateffts_conj = jnp.asarray(
+            np.conj(np.fft.fft(padded, axis=1)), dtype=dtype)
+
+    def correlate(self, x: jnp.ndarray, return_max: bool = False):
+        if x.shape[-1] != self.input_size:
+            raise ValueError(f"x must be length {self.input_size}")
+        return _template_correlate(
+            x, self.templateffts_conj, self.template_norms,
+            template_len=self.template_len, return_max=bool(return_max))
+
+
+@functools.partial(jax.jit, static_argnames=("template_len", "return_max"))
+def _template_correlate(x, tfftsconj, tnorms, *, template_len, return_max):
+    xfft = jnp.fft.fft(x)
+    out = jnp.fft.ifft(xfft[None, :] * tfftsconj, axis=-1)
+    # rolling input energy over template_len windows
+    power = _abs_sq(x)
+    ones = jnp.ones(template_len, dtype=power.dtype)
+    moving = jnp.convolve(power, ones, mode="valid")  # (n - L + 1,)
+    norms = jnp.sqrt(moving)
+    nout = out[:, : x.shape[-1] - template_len + 1] / norms[None, :]
+    nout = nout / tnorms[:, None]
+    if not return_max:
+        return nout
+    mag = jnp.abs(nout)
+    idx = jnp.argmax(mag, axis=0)
+    best = jnp.take_along_axis(mag, idx[None, :], axis=0)[0]
+    return best, idx

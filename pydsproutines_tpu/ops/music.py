@@ -1,0 +1,189 @@
+"""MUSIC / CAPON / ESPRIT subspace frequency estimation.
+
+Reference semantics: /root/reference/musicRoutines.py (musicAlg :17,
+CovarianceTechnique :187, MUSIC :349, CAPON :471, ESPRIT :500).
+
+Implementation note: these are small-matrix (rows ~ 100) estimators whose core
+is a complex SVD/eig — not supported by the TPU's linear-algebra set and never
+the throughput path. The covariance assembly and Vandermonde pseudospectrum
+products are vectorized numpy (they run on host alongside the TPU pipeline);
+the heavy per-shift CAF work stays in the jax ops. This mirrors how the
+reference layers it: musicXcorr (xcorrRoutines.py:378) downsamples first and
+runs MUSIC on short snapshots.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.signal as sps
+
+
+def snapshot_matrix(x, rows: int, snapshot_jump: int | None = None) -> np.ndarray:
+    """Arrange 1-d ``x`` (or a dict of 1-d arrays) into a (rows, cols)
+    snapshot matrix (reference musicAlg matrix assembly, musicRoutines.py:66-118).
+
+    snapshot_jump=None: disjoint columns via reshape. Otherwise columns are
+    sliding windows advancing by ``snapshot_jump`` samples.
+    """
+    if isinstance(x, dict):
+        mats = [snapshot_matrix(xi, rows, snapshot_jump) for xi in x.values()]
+        return np.hstack(mats)
+    x = np.asarray(x).flatten()
+    if snapshot_jump is None:
+        cols = len(x) // rows
+        return x[: rows * cols].reshape(cols, rows).T
+    if snapshot_jump <= 0:
+        raise ValueError("snapshot_jump must be at least 1.")
+    cols = (x.size - rows) // snapshot_jump + 1
+    idx = np.arange(rows)[:, None] + snapshot_jump * np.arange(cols)[None, :]
+    return x[idx]
+
+
+def covariance(x, rows: int, snapshot_jump: int | None = None,
+               fwd_bwd: bool = False, avg_to_toeplitz: bool = False,
+               use_autocorr: bool = False) -> np.ndarray:
+    """Covariance estimate with optional forward-backward correction,
+    Toeplitz diagonal averaging, or the autocorrelation method (reference
+    musicAlg, musicRoutines.py:55-135)."""
+    if use_autocorr:
+        x = np.asarray(x).flatten()
+        autocorr = sps.correlate(x, x)
+        import scipy.linalg as sla
+        return sla.toeplitz(
+            autocorr[len(x) - 1: len(x) - 1 + rows] / (len(x) - np.arange(rows)))
+
+    xs = snapshot_matrix(x, rows, snapshot_jump)
+    cols = xs.shape[1]
+    rx = (1.0 / cols) * xs @ xs.conj().T
+    if fwd_bwd:
+        j = np.eye(rx.shape[0])[:, ::-1]
+        rx = 0.5 * (rx + j @ rx.T @ j)
+    if avg_to_toeplitz:
+        rx_tp = np.zeros_like(rx)
+        for k in range(-rx.shape[0] + 1, rx.shape[1]):
+            d = np.mean(np.diag(rx, k))
+            rx_tp += np.diag(np.full(rx.shape[0] - abs(k), d), k)
+        rx = rx_tp
+    return rx
+
+
+def _pseudospectrum(u, s, freqlist, rows, p, use_signal_as_numerator):
+    ehlist = np.exp(-2j * np.pi * np.asarray(freqlist).reshape(-1, 1)
+                    * np.arange(rows))
+    d = ehlist @ u[:, p:]
+    denom = np.sum(np.abs(d) ** 2, axis=1)
+    numerator = 1.0
+    if use_signal_as_numerator:
+        ssp = s[:p] ** -0.5
+        siginv = u[:, :p] * ssp
+        n = ehlist @ siginv
+        numerator = np.sum(np.abs(n) ** 2, axis=1)
+    return numerator / denom
+
+
+def music_alg(x, freqlist, rows: int, plist, snapshot_jump=None,
+              fwd_bwd: bool = False, use_signal_as_numerator: bool = False,
+              avg_to_toeplitz: bool = False, use_autocorr: bool = False):
+    """MUSIC pseudospectrum over ``freqlist`` (normalized to [-1, 1]) for each
+    signal-subspace dimension in ``plist`` (reference musicAlg,
+    musicRoutines.py:17). Returns (f, u, s, vh)."""
+    freqlist = np.asarray(freqlist)
+    if not np.all(np.abs(freqlist) <= 1.0):
+        raise ValueError("Frequency list input must be normalized.")
+    rx = covariance(x, rows, snapshot_jump, fwd_bwd, avg_to_toeplitz,
+                    use_autocorr)
+    u, s, vh = np.linalg.svd(rx)
+    if not hasattr(plist, "__len__"):
+        f = _pseudospectrum(u, s, freqlist, rows, int(plist),
+                            use_signal_as_numerator)
+    else:
+        f = np.stack([
+            _pseudospectrum(u, s, freqlist, rows, int(p),
+                            use_signal_as_numerator) for p in plist])
+    return f, u, s, vh
+
+
+class CovarianceTechnique:
+    """Base class holding covariance options + optional prewhitening
+    (reference CovarianceTechnique, musicRoutines.py:187)."""
+
+    def __init__(self, rows: int, snapshot_jump=None, fwd_bwd: bool = False,
+                 avg_to_toeplitz: bool = False):
+        self.rows = int(rows)
+        self.snapshot_jump = snapshot_jump
+        self.fwd_bwd = fwd_bwd
+        self.avg_to_toeplitz = avg_to_toeplitz
+        self.L = None  # prewhitening matrix (lower-triangular cholesky)
+
+    def set_prewhitening_matrix(self, L: np.ndarray):
+        self.L = np.asarray(L)
+
+    def est_prewhitening_matrix(self, noise: np.ndarray):
+        """Estimate the prewhitener as the Cholesky factor of the noise
+        covariance."""
+        rn = covariance(noise, self.rows, self.snapshot_jump)
+        self.L = np.linalg.cholesky(rn)
+        return self.L
+
+    def calc_rx(self, x) -> np.ndarray:
+        return covariance(x, self.rows, self.snapshot_jump, self.fwd_bwd,
+                          self.avg_to_toeplitz)
+
+
+class MUSIC(CovarianceTechnique):
+    """MUSIC estimator class (reference MUSIC, musicRoutines.py:349)."""
+
+    def run(self, x, freqlist, plist, use_signal_as_numerator: bool = False,
+            prewhiten: bool = False):
+        rx = self.calc_rx(x)
+        if prewhiten:
+            if self.L is None:
+                raise ValueError("Set the prewhitening matrix first.")
+            linv = np.linalg.inv(self.L)
+            rx = linv @ rx @ linv.conj().T
+        u, s, vh = np.linalg.svd(rx)
+        if not hasattr(plist, "__len__"):
+            f = _pseudospectrum(u, s, freqlist, self.rows, int(plist),
+                                use_signal_as_numerator)
+        else:
+            f = np.stack([
+                _pseudospectrum(u, s, freqlist, self.rows, int(p),
+                                use_signal_as_numerator) for p in plist])
+        return f, u, s, vh, rx
+
+    @staticmethod
+    def pick_peaks(f, p: int, height: float = 0):
+        """Top-p peaks of the pseudospectrum (reference pickPeaks,
+        musicRoutines.py:451)."""
+        peakinds, props = sps.find_peaks(np.asarray(f), height=height)
+        ph = props["peak_heights"]
+        order = np.argsort(ph)[::-1]
+        peakinds, ph = peakinds[order], ph[order]
+        return peakinds[:p], ph[:p]
+
+
+class CAPON(CovarianceTechnique):
+    """Capon / MVDR spectrum (reference CAPON, musicRoutines.py:471)."""
+
+    def run(self, x, freqlist):
+        rx = self.calc_rx(x)
+        inv_rx = np.linalg.inv(rx)
+        freqlist = np.asarray(freqlist)
+        eh = np.exp(-2j * np.pi * freqlist[:, None] * np.arange(self.rows))
+        # f[i] = 1 / (eh_i inv_rx eh_i^H) — batched quadratic form
+        denom = np.einsum("ij,jk,ik->i", eh, inv_rx, eh.conj())
+        return 1.0 / denom, rx
+
+
+class ESPRIT(CovarianceTechnique):
+    """ESPRIT frequency estimates (reference ESPRIT, musicRoutines.py:500)."""
+
+    def run(self, x, p: int, fs: float):
+        rx = self.calc_rx(x)
+        u, s, vh = np.linalg.svd(rx)
+        sig_u = u[:, :p]
+        phi, *_ = np.linalg.lstsq(sig_u[: self.rows - 1], sig_u[1:],
+                                  rcond=None)
+        w, v = np.linalg.eig(phi)
+        freqs = np.angle(w) / (2 * np.pi) * fs
+        return freqs, u, s, vh, rx

@@ -31,12 +31,20 @@ from pydsproutines_tpu.utils.freq import make_freq
 
 
 @functools.partial(jax.jit, static_argnames=("dec", "n"))
-def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None) -> jnp.ndarray:
+def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
+         row_offset=0) -> jnp.ndarray:
     """WOLA channelize ``x`` into ``n`` channels decimated by ``dec``.
 
     Matches the reference pure-python wola() (filterRoutines.py:578)
     including the odd-row phase flip for n == 2*dec. f_tap length must be an
     integer multiple of n; n must equal dec or 2*dec.
+
+    ``row_offset`` shifts the parity of the odd-row phase flip: when
+    processing a block whose first output row has global index r0, pass
+    ``row_offset=r0`` so streamed/sharded blocks flip the same rows the
+    whole-signal computation would. (The reference's streaming C path flips by
+    local row index, which desynchronizes across blocks when the warm-up row
+    count is odd — this is a deliberate correctness fix.)
     """
     if n is None:
         n = dec
@@ -66,8 +74,9 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None) -> 
     out = jnp.fft.ifft(dft_in, axis=-1) * n
 
     if n == 2 * dec:
-        # negate odd channels on odd rows
-        row_sign = jnp.where(jnp.arange(nprime_pts) % 2 == 1, -1.0, 1.0)
+        # negate odd channels on (globally) odd rows
+        row_sign = jnp.where((jnp.arange(nprime_pts) + row_offset) % 2 == 1,
+                             -1.0, 1.0)
         chan_odd = (jnp.arange(n) % 2 == 1)
         flip = jnp.where(chan_odd[None, :], row_sign[:, None], 1.0)
         out = out * flip.astype(out.dtype)
@@ -99,6 +108,7 @@ class Channeliser:
 
     def reset(self):
         self.delay = jnp.zeros(self.f_tap.shape[-1], dtype=self.dtype)
+        self._samples_consumed = 0
 
     def channelise(self, x: jnp.ndarray) -> jnp.ndarray:
         """Channelize one block; returns (floor(len(x)/dec), num_channels).
@@ -108,8 +118,13 @@ class Channeliser:
         """
         x = jnp.asarray(x, dtype=self.dtype)
         y = jnp.concatenate([self.delay, x])
-        channels = wola(self.f_tap, y, self.dec, self.num_channels)
+        # local row i <-> global output row (consumed/dec) - jump + i, so the
+        # N == 2*Dec phase flip stays aligned with the whole-signal result.
+        row_offset = self._samples_consumed // self.dec - self.jump
+        channels = wola(self.f_tap, y, self.dec, self.num_channels,
+                        row_offset=row_offset)
         self.delay = x[-self.f_tap.shape[-1]:]
+        self._samples_consumed += int(x.shape[-1])
         return channels[self.jump:, :]
 
     def channel_freqs(self, fs: float = 1.0):
