@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from pydsproutines_tpu.ops.xcorr import _fast_xcorr_impl
+from pydsproutines_tpu.ops.xcorr import _fast_xcorr_impl, _uniform_step
 
 
 def sharded_fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray,
@@ -30,6 +30,7 @@ def sharded_fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray,
     ``len(shifts)`` must be divisible by the mesh axis size. Returns the same
     outputs as fast_xcorr (QF^2 [+ freq bins]), gathered across devices.
     """
+    step = _uniform_step(shifts)
     shifts = jnp.asarray(shifts)
     nper = shifts.shape[0] // mesh.shape[axis]
     if nper * mesh.shape[axis] != shifts.shape[0]:
@@ -39,7 +40,7 @@ def sharded_fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray,
 
     local = functools.partial(
         _fast_xcorr_impl, n=n, freqsearch=freqsearch, output_caf=False,
-        abs_result=abs_result, batch_size=bs)
+        abs_result=abs_result, batch_size=bs, step=step)
 
     spec_in = (P(), P(), P(axis))
     spec_out = (P(axis), P(axis)) if freqsearch else P(axis)
@@ -58,6 +59,7 @@ def sharded_caf_peak(cutout: jnp.ndarray, rx: jnp.ndarray,
 
     Returns (qf2_peak, best_shift, best_freq_bin) as scalars.
     """
+    step = _uniform_step(shifts)
     shifts = jnp.asarray(shifts)
     nper = shifts.shape[0] // mesh.shape[axis]
     if nper * mesh.shape[axis] != shifts.shape[0]:
@@ -68,7 +70,7 @@ def sharded_caf_peak(cutout: jnp.ndarray, rx: jnp.ndarray,
     def local(c, r, s):
         qf2, freqs = _fast_xcorr_impl(c, r, s, n=n, freqsearch=True,
                                       output_caf=False, abs_result=True,
-                                      batch_size=bs)
+                                      batch_size=bs, step=step)
         i = jnp.argmax(qf2)
         # gather every device's local peak triple (scalars only on the wire)
         peaks = jax.lax.all_gather(qf2[i], axis)
