@@ -1,0 +1,330 @@
+"""Binary capture readers.
+
+Reference semantics: /root/reference/usrpRoutines.py (simpleBinRead :51,
+multiBinReadThreaded :88, isInt16Clipping :159, FolderReader :179,
+SortedFolderReader :374, GroupReader :597, GroupDatabase :685).
+
+The multi-file hot path uses the native threaded C++ loader
+(native/binloader.cpp — fread + int16->float32 striped across std::threads,
+writing straight into the numpy output buffer) when the shared library is
+built, with a ThreadPoolExecutor+numpy fallback. Readers prefetch upcoming
+files on a background executor so the device never waits on disk (the
+reference's futureBinRead pattern).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import ctypes
+import fnmatch
+import os
+import sqlite3
+
+import numpy as np
+
+_NATIVE_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libdspbinloader.so"),
+    os.path.join(os.path.dirname(__file__), "libdspbinloader.so"),
+]
+
+
+def _load_native():
+    for p in _NATIVE_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+                lib.load_int16_files.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.c_long, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+                lib.load_int16_files.restype = ctypes.c_int
+                lib.load_int16_file.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float)]
+                lib.load_int16_file.restype = ctypes.c_int
+                return lib
+            except OSError:
+                continue
+    return None
+
+
+_native = _load_native()
+
+
+def simple_bin_read(filename, num_samps: int = -1, in_dtype=np.int16,
+                    out_dtype=np.complex64, offset: int = 0) -> np.ndarray:
+    """Read interleaved I/Q samples from one file (reference simpleBinRead).
+    ``num_samps`` counts complex samples; -1 reads the whole file."""
+    in_dtype = np.dtype(in_dtype)
+    if in_dtype.kind == "c":
+        raise TypeError("in_dtype must be a real type (e.g. int16/float32).")
+    count = -1 if num_samps < 0 else num_samps * 2
+    data = np.fromfile(filename, dtype=in_dtype, count=count, offset=offset)
+    return data.astype(np.float32).view(out_dtype)
+
+
+def multi_bin_read(filenames, num_samps: int, in_dtype=np.int16,
+                   out_dtype=np.complex64, offset: int = 0,
+                   threads: int = 4) -> np.ndarray:
+    """Read many equal-length capture files into one array (reference
+    multiBinReadThreaded). Uses the native threaded loader for int16 input
+    when available."""
+    filenames = list(filenames)
+    n = len(filenames)
+    if (_native is not None and np.dtype(in_dtype) == np.int16
+            and np.dtype(out_dtype) == np.complex64):
+        out = np.empty(n * num_samps * 2, dtype=np.float32)
+        paths = (ctypes.c_char_p * n)(
+            *[os.fsencode(f) for f in filenames])
+        rc = _native.load_int16_files(
+            paths, n, num_samps, offset,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads)
+        if rc != 0:
+            raise IOError(f"native loader failed with status {rc}")
+        return out.view(np.complex64)
+
+    alldata = np.zeros(n * num_samps, dtype=out_dtype)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max(threads, 1)) as ex:
+        futs = {ex.submit(simple_bin_read, f, num_samps, in_dtype, out_dtype,
+                          offset): i for i, f in enumerate(filenames)}
+        for fut in concurrent.futures.as_completed(futs):
+            i = futs[fut]
+            alldata[i * num_samps: (i + 1) * num_samps] = fut.result()
+    return alldata
+
+
+def is_int16_clipping(data, threshold: int = 32000) -> bool:
+    """Detect near-full-scale int16 recordings (reference isInt16Clipping)."""
+    data = np.asarray(data)
+    if data.dtype == np.complex64:
+        fdata = data.view(np.float32)
+    elif data.dtype == np.complex128:
+        fdata = data.view(np.float64)
+    else:
+        fdata = data
+    return bool(np.any(np.abs(fdata) > threshold))
+
+
+class FolderReader:
+    """Sequential reader over a folder of equal-size capture files with
+    background prefetch (reference FolderReader, usrpRoutines.py:179)."""
+
+    def __init__(self, folderpath, num_samps_per_file: int,
+                 extension: str = ".bin", in_dtype=np.int16,
+                 out_dtype=np.complex64, ignore_insufficient_data: bool = True):
+        self.folderpath = folderpath
+        self.num_samps_per_file = int(num_samps_per_file)
+        self.extension = extension
+        self.in_dtype = np.dtype(in_dtype)
+        self.out_dtype = np.dtype(out_dtype)
+        self.ignore_insufficient_data = ignore_insufficient_data
+        self.executor = concurrent.futures.ThreadPoolExecutor(1)
+        self.futures: list = []
+        self.refresh_filelists()
+
+    @property
+    def has_more_files(self) -> bool:
+        return self.fidx < len(self.filepaths)
+
+    def refresh_filelists(self):
+        req_min = self.in_dtype.itemsize * 2 * self.num_samps_per_file
+        contents = os.listdir(self.folderpath)
+        if self.ignore_insufficient_data:
+            contents = [f for f in contents if os.path.getsize(
+                os.path.join(self.folderpath, f)) >= req_min]
+        self.filenames = fnmatch.filter(contents, "*" + self.extension)
+        self.filepaths = [os.path.join(self.folderpath, f)
+                          for f in self.filenames]
+        self.reset()
+
+    def reset(self):
+        self.fidx = 0
+        self.futures = []
+
+    def start_at_index(self, i: int):
+        self.fidx = int(i)
+        self.futures.clear()
+
+    def get(self, num_files: int, prefetch: int = 0):
+        """Read the next num_files files (consuming prefetched results
+        first), then queue ``prefetch`` more reads in the background.
+        Returns (data flattened, filepaths read)."""
+        start = self.fidx
+        data = np.zeros((num_files, self.num_samps_per_file),
+                        dtype=self.out_dtype)
+        i = 0
+        remainder = num_files
+        while self.futures and remainder > 0:
+            fut = self.futures.pop(0)
+            data[i, :] = fut.result().astype(np.float32).view(self.out_dtype)
+            i += 1
+            remainder -= 1
+            self.fidx += 1
+        while remainder > 0:
+            data[i, :] = simple_bin_read(
+                self.filepaths[self.fidx], self.num_samps_per_file,
+                self.in_dtype, self.out_dtype)
+            i += 1
+            self.fidx += 1
+            remainder -= 1
+        additional = prefetch - len(self.futures)
+        for a in range(additional):
+            idx = self.fidx + len(self.futures)
+            if idx < len(self.filepaths):
+                self.futures.append(self.executor.submit(
+                    np.fromfile, self.filepaths[idx], dtype=self.in_dtype,
+                    count=self.num_samps_per_file * 2))
+        fps = self.filepaths[start: self.fidx]
+        return data.reshape(-1), fps
+
+    def get_next_file(self):
+        if self.fidx >= len(self.filepaths):
+            raise ValueError("Insufficient files remaining.")
+        fp = self.filepaths[self.fidx]
+        self.fidx += 1
+        return simple_bin_read(fp, self.num_samps_per_file, self.in_dtype,
+                               self.out_dtype), fp
+
+
+class SortedFolderReader(FolderReader):
+    """FolderReader over integer-timestamp filenames, time-sorted with
+    gap checking (reference SortedFolderReader, usrpRoutines.py:374)."""
+
+    def __init__(self, folderpath, num_samps_per_file: int,
+                 extension: str = ".bin", in_dtype=np.int16,
+                 out_dtype=np.complex64, ensure_incremental: bool = True):
+        super().__init__(folderpath, num_samps_per_file, extension, in_dtype,
+                         out_dtype)
+        self.filetimes = np.array(
+            [int(os.path.splitext(f)[0]) for f in self.filenames])
+        order = np.argsort(self.filetimes)
+        self.filetimes = self.filetimes[order]
+        self.filenames = [self.filenames[i] for i in order]
+        self.filepaths = [self.filepaths[i] for i in order]
+        if ensure_incremental and self.filetimes.size > 1:
+            assert np.all(np.diff(self.filetimes) == 1), \
+                "file timestamps are not contiguous"
+
+    def get_final_time(self):
+        return self.filetimes[-1]
+
+    def start_at_time(self, start_time: int):
+        idx = int(np.argwhere(self.filetimes == start_time)[0, 0])
+        self.start_at_index(idx)
+
+    def get_path_by_time(self, req_time: int):
+        return self.filepaths[int(np.argwhere(
+            self.filetimes == req_time).flatten()[0])]
+
+    def get_file_by_time(self, req_time):
+        if isinstance(req_time, (int, np.integer)):
+            paths = [self.get_path_by_time(req_time)]
+        else:
+            paths = [self.get_path_by_time(t) for t in req_time]
+        data = multi_bin_read(paths, self.num_samps_per_file, self.in_dtype,
+                              self.out_dtype)
+        return data, paths if len(paths) > 1 else paths[0]
+
+    def get(self, num_files: int, prefetch: int = 0):
+        data, fps = super().get(num_files, prefetch)
+        fts = self.filetimes[self.fidx - num_files: self.fidx]
+        return data, fps, fts
+
+
+class GroupReader(SortedFolderReader):
+    """Reader that partitions timestamped files into contiguous groups (burst
+    recordings separated by gaps) and yields one group at a time (reference
+    GroupReader, usrpRoutines.py:597 — note it does NOT require incremental
+    times, the gaps define the groups)."""
+
+    def __init__(self, folderpath, num_samps_per_file: int,
+                 extension: str = ".bin", in_dtype=np.int16,
+                 out_dtype=np.complex64):
+        super().__init__(folderpath, num_samps_per_file, extension, in_dtype,
+                         out_dtype, ensure_incremental=False)
+        self._parse_groups()
+        self.gidx = 0
+
+    def _parse_groups(self):
+        if self.filetimes.size == 0:
+            self.group_bounds = []
+            return
+        splits = np.argwhere(np.diff(self.filetimes) > 1).flatten() + 1
+        idx = np.split(np.arange(self.filetimes.size), splits)
+        self.group_bounds = [(int(g[0]), int(g[-1] + 1)) for g in idx]
+
+    def reset(self):
+        super().reset()
+        self.gidx = 0
+
+    @property
+    def has_more_groups(self) -> bool:
+        return self.gidx < len(self.group_bounds)
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.group_bounds)
+
+    def get_group(self):
+        """Read all files of the next group. Returns (data, paths, times)."""
+        if not self.has_more_groups:
+            raise ValueError("No more groups.")
+        start, end = self.group_bounds[self.gidx]
+        self.gidx += 1
+        paths = self.filepaths[start:end]
+        data = multi_bin_read(paths, self.num_samps_per_file, self.in_dtype,
+                              self.out_dtype)
+        return data, paths, self.filetimes[start:end]
+
+
+class GroupDatabase:
+    """sqlite tracker of processed burst groups + last-processed time
+    (reference GroupDatabase, usrpRoutines.py:685)."""
+
+    def __init__(self, dbfilepath: str = "groups.db"):
+        self.dbfilepath = dbfilepath
+        self.con = sqlite3.connect(dbfilepath)
+        self.cur = self.con.cursor()
+        self.add_metatable()
+
+    def add_metatable(self):
+        self.cur.execute(
+            "CREATE TABLE IF NOT EXISTS meta(lastfiletime INTEGER)")
+        self.con.commit()
+
+    def update_metatable(self, lastfiletime: int):
+        self.cur.execute("DELETE FROM meta")
+        self.cur.execute("INSERT INTO meta VALUES(?)", (int(lastfiletime),))
+        self.con.commit()
+
+    def get_last_processed_time(self):
+        row = self.cur.execute("SELECT lastfiletime FROM meta").fetchone()
+        return row[0] if row else None
+
+    def add_table(self, tablename: str):
+        self.cur.execute(
+            f"CREATE TABLE IF NOT EXISTS {tablename}"
+            "(gidx INTEGER UNIQUE, starttime INTEGER, endtime INTEGER)")
+        self.con.commit()
+
+    def get_latest_group_idx(self, tablename: str):
+        row = self.cur.execute(
+            f"SELECT MAX(gidx) FROM {tablename}").fetchone()
+        return row[0] if row and row[0] is not None else -1
+
+    def insert_group(self, tablename: str, gidx: int, starttime: int,
+                     endtime: int):
+        self.cur.execute(
+            f"INSERT OR REPLACE INTO {tablename} VALUES(?,?,?)",
+            (int(gidx), int(starttime), int(endtime)))
+        self.con.commit()
+
+    def get_group_by_idx(self, tablename: str, gidx: int):
+        return self.cur.execute(
+            f"SELECT * FROM {tablename} WHERE gidx=?", (int(gidx),)).fetchone()
+
+    def get_all_groups(self, tablename: str):
+        return self.cur.execute(
+            f"SELECT * FROM {tablename} ORDER BY gidx").fetchall()

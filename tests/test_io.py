@@ -1,0 +1,211 @@
+import os
+
+import numpy as np
+import pytest
+
+from pydsproutines_tpu.io import (
+    simple_bin_read,
+    multi_bin_read,
+    is_int16_clipping,
+    FolderReader,
+    SortedFolderReader,
+    GroupReader,
+    GroupDatabase,
+    XcorrDB,
+    DSPConfig,
+)
+from pydsproutines_tpu.io.binfiles import _native
+
+
+def _write_capture(path, data_c64):
+    interleaved = data_c64.view(np.float32).astype(np.int16)
+    interleaved.tofile(path)
+
+
+def _make_folder(tmp_path, num_files=6, samps=128, t0=1000, gap_at=None):
+    rng = np.random.default_rng(42)
+    arrays = []
+    for i in range(num_files):
+        t = t0 + i + (2 if gap_at is not None and i >= gap_at else 0)
+        data = (rng.integers(-100, 100, samps)
+                + 1j * rng.integers(-100, 100, samps)).astype(np.complex64)
+        _write_capture(os.path.join(tmp_path, f"{t}.bin"), data)
+        arrays.append(data)
+    return arrays
+
+
+def test_simple_bin_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = (rng.integers(-1000, 1000, 256)
+            + 1j * rng.integers(-1000, 1000, 256)).astype(np.complex64)
+    p = str(tmp_path / "a.bin")
+    _write_capture(p, data)
+    out = simple_bin_read(p, 256)
+    assert np.array_equal(out, data)
+    # partial read with offset (in bytes: skip 10 complex samples = 40 bytes)
+    out2 = simple_bin_read(p, 16, offset=40)
+    assert np.array_equal(out2, data[10:26])
+
+
+def test_multi_bin_read_native_and_fallback(tmp_path):
+    arrays = _make_folder(str(tmp_path), num_files=5, samps=64)
+    paths = sorted(str(p) for p in tmp_path.glob("*.bin"))
+    expected = np.concatenate(arrays)
+    out = multi_bin_read(paths, 64, threads=3)
+    assert np.array_equal(out, expected)
+    assert _native is not None, "native loader should be built"
+    # float32 input path exercises the python fallback
+    f32 = np.arange(32, dtype=np.float32)
+    f32.tofile(str(tmp_path / "f32.bin"))
+    out = multi_bin_read([str(tmp_path / "f32.bin")], 16,
+                         in_dtype=np.float32)
+    assert out.dtype == np.complex64
+    assert np.array_equal(out.view(np.float32), f32)
+
+
+def test_is_int16_clipping():
+    ok = np.array([100 + 100j], dtype=np.complex64)
+    assert not is_int16_clipping(ok)
+    clip = np.array([32500 + 0j], dtype=np.complex64)
+    assert is_int16_clipping(clip)
+
+
+def test_folder_reader_prefetch(tmp_path):
+    arrays = _make_folder(str(tmp_path), num_files=6, samps=128)
+    fr = FolderReader(str(tmp_path), 128)
+    fr.filepaths.sort()
+    fr.filenames.sort()
+    data, fps = fr.get(2, prefetch=2)
+    assert np.array_equal(data, np.concatenate(arrays[:2]))
+    assert len(fps) == 2
+    # second get consumes prefetched futures
+    data2, fps2 = fr.get(2)
+    assert np.array_equal(data2, np.concatenate(arrays[2:4]))
+    assert fr.has_more_files
+
+
+def test_sorted_folder_reader(tmp_path):
+    arrays = _make_folder(str(tmp_path), num_files=5, samps=64, t0=5000)
+    sr = SortedFolderReader(str(tmp_path), 64)
+    assert sr.get_final_time() == 5004
+    data, fps, fts = sr.get(3)
+    assert np.array_equal(fts, [5000, 5001, 5002])
+    assert np.array_equal(data, np.concatenate(arrays[:3]))
+    sr.start_at_time(5001)
+    d, p = sr.get_file_by_time(5001)
+    assert np.array_equal(d, arrays[1])
+
+
+def test_group_reader(tmp_path):
+    arrays = _make_folder(str(tmp_path), num_files=6, samps=32, t0=100,
+                          gap_at=3)  # groups: [100..102], [105..107]
+    gr = GroupReader(str(tmp_path), 32)
+    assert gr.num_groups == 2
+    d1, p1, t1 = gr.get_group()
+    assert np.array_equal(t1, [100, 101, 102])
+    assert np.array_equal(d1, np.concatenate(arrays[:3]))
+    d2, p2, t2 = gr.get_group()
+    assert np.array_equal(t2, [105, 106, 107])
+    assert not gr.has_more_groups
+
+
+def test_group_database(tmp_path):
+    db = GroupDatabase(str(tmp_path / "g.db"))
+    db.add_table("bursts")
+    assert db.get_latest_group_idx("bursts") == -1
+    db.insert_group("bursts", 0, 100, 102)
+    db.insert_group("bursts", 1, 105, 107)
+    assert db.get_latest_group_idx("bursts") == 1
+    assert db.get_group_by_idx("bursts", 0) == (0, 100, 102)
+    db.update_metatable(107)
+    assert db.get_last_processed_time() == 107
+
+
+def test_xcorr_db_roundtrip(tmp_path):
+    db = XcorrDB(str(tmp_path / "xc.db"))
+    db.create_xcorr_results_table("results_a", fc=1e9, fs=1_000_000,
+                                  s1="sensorA", s2="sensorB", xctype=1)
+    assert "results_a" in db.tables()
+    meta = db.get_metadata("results_a")
+    assert meta[1] == 1e9 and meta[5] == 1
+
+    base = dict(time_sec=1234, tidx=100, cutoutlen=1000, td_scan_start=0.0,
+                td_scan_numsteps=128, td_scan_step=1e-6, fd_scan_start=0.0,
+                fd_scan_numsteps=0, fd_scan_step=0.0, rfd_scan_start=0.0,
+                rfd_scan_numsteps=0, rfd_scan_step=0.0, desc=None)
+    qf2 = np.random.default_rng(0).random(128)
+    fi = np.arange(128, dtype=np.uint32)
+    db.insert_1d_result("results_a", base, qf2, fi)
+
+    rows = db.select_results("results_a", "time_sec=?", (1234,))
+    assert len(rows) == 1
+    q, f = XcorrDB.regenerate_1d(rows[0][13], rows[0][14])
+    assert np.allclose(q, qf2)
+    assert np.array_equal(f, fi)
+
+    # UNIQUE constraint: same scan params replace instead of duplicate
+    db.insert_1d_result("results_a", base, qf2 * 2, fi)
+    assert len(db.select_results("results_a")) == 1
+
+    # type-2 CAF
+    db.create_xcorr_results_table("results_caf", 0.0, 1000, "a", "b", 2)
+    caf = np.random.default_rng(1).random((16, 64))
+    db.insert_2d_result("results_caf", base, caf)
+    rows = db.select_results("results_caf")
+    caf2 = XcorrDB.regenerate_2d(rows[0][13], 16)
+    assert np.allclose(caf2, caf)
+
+
+def test_dsp_config(tmp_path):
+    ini = tmp_path / "test.ini"
+    ini.write_text("""
+[src_mysrc]
+srcdir = /data/captures
+fs = 1000000
+fc = 100e6
+conjSamples = false
+headerBytes = 0
+dtype = int16
+lonlatalt = 103.8,1.35,15.0
+
+[sig_mysig]
+target_fc = 100.1e6
+baud = 25000
+numBurstBits = 480
+numGuardBits = 20
+numPeriodBits = 500
+numBursts = 12
+
+[pro_myproc]
+src = mysrc
+sig = mysig
+numTaps = 128
+target_osr = 4
+threshold = 2.5
+
+[myworkspace]
+pro_myproc
+""")
+    cfg = DSPConfig(str(ini))
+    assert set(cfg.all_sources) == {"mysrc"}
+    assert set(cfg.all_signals) == {"mysig"}
+    assert set(cfg.all_processes) == {"myproc"}
+    assert set(cfg.all_workspaces) == {"myworkspace"}
+
+    src = cfg.get_src("mysrc")
+    assert src.fs == 1e6 and src.fc == 100e6
+    assert src.lonlatalt == (103.8, 1.35, 15.0)
+    assert src.conj_samples is False
+
+    sig = cfg.get_sig("mysig")
+    assert sig.baud == 25000
+    assert sig.num_period_bits == 500
+    assert not sig.has_channels
+
+    proc = cfg.get_process("myproc")
+    assert proc.num_taps == 128
+    assert proc.src.fs == 1e6          # linked source
+    assert proc.sig.baud == 25000      # linked signal
+
+    cfg.load_section("myworkspace")
+    assert set(cfg.processes) == {"myproc"}
