@@ -35,6 +35,7 @@ from pydsproutines_tpu.ops.detection import (
     energy_detection,
 )
 from pydsproutines_tpu.ops.groupxcorr import (
+    GroupXcorrCZTPermutations,
     GroupXcorr,
     GroupXcorrCZT,
     GroupXcorrFFT,
@@ -50,8 +51,8 @@ from pydsproutines_tpu.ops.demod import (
     detect_b_or_q,
     ml_demod_qpsk,
 )
-from pydsproutines_tpu.ops.viterbi import ViterbiDemodulator
-from pydsproutines_tpu.ops.music import MUSIC, CAPON, ESPRIT, music_alg
+from pydsproutines_tpu.ops.viterbi import ViterbiDemodulator, BurstyViterbiDemodulator
+from pydsproutines_tpu.ops.music import MUSIC, CAPON, ESPRIT, music_alg, music_xcorr
 from pydsproutines_tpu.ops.cyclostationary import (
     PSKOrderDetector,
     estimate_baud,
@@ -77,6 +78,9 @@ from pydsproutines_tpu.ops.xcorr import (
 )
 
 __all__ = [
+    "GroupXcorrCZTPermutations",
+    "BurstyViterbiDemodulator",
+    "music_xcorr",
     "GroupXcorr",
     "GroupXcorrCZT",
     "GroupXcorrFFT",

@@ -279,3 +279,102 @@ def _template_correlate(x, tfftsconj, tnorms, *, template_len, return_max):
     idx = jnp.argmax(mag, axis=0)
     best = jnp.take_along_axis(mag, idx[None, :], axis=0)[0]
     return best, idx
+
+
+class GroupXcorrCZTPermutations:
+    """Group xcorr over template *permutations*: each group's template is
+    drawn from a set; per-template correlations are computed once and combined
+    per permutation (reference GroupXcorrCZT_Permutations,
+    /root/reference/xcorrRoutines.py:1264 — thread/GPU-batched there, one
+    batched CZT over all templates per shift chunk here).
+
+    All groups share one template length. After :meth:`xcorr`, call
+    :meth:`get_caf` with one template choice per group.
+    """
+
+    def __init__(self, ygroups, ygroup_idxs, group_starts, f1: float,
+                 f2: float, bin_width: float, fs: float,
+                 auto_conj: bool = True, dtype=jnp.complex64):
+        ygroups = np.asarray(ygroups)
+        ygroup_idxs = np.asarray(ygroup_idxs)
+        group_starts = np.asarray(group_starts)
+        assert ygroups.shape[0] == ygroup_idxs.size
+        assert np.unique(ygroup_idxs).size == group_starts.size
+        assert np.all(np.sort(np.unique(ygroup_idxs))
+                      == np.arange(group_starts.size))
+        self.num_templates = ygroup_idxs.size
+        self.num_groups = group_starts.size
+        self.group_starts = group_starts
+        self.ygroup_idxs = ygroup_idxs
+        self.length = ygroups.shape[1]
+        self.fs = float(fs)
+        if auto_conj:
+            ygroups = np.conj(ygroups)
+        self.ygroups = jnp.asarray(ygroups, dtype=dtype)
+        self.ygroups_energy = np.linalg.norm(ygroups, axis=1) ** 2
+
+        self.plan = CZT(self.length, f1, f2, bin_width, fs, dtype=dtype)
+        self.czt_freq = self.plan.freqs()
+        phases = np.exp(-2j * np.pi * self.czt_freq[None, :]
+                        * group_starts[:, None] / fs)
+        # phase per *template* (indexed by its group)
+        self.template_phases = jnp.asarray(phases[ygroup_idxs], dtype=dtype)
+        self.xc_templates = None
+        self.rx_group_norm_sq = None
+
+    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 8):
+        """Correlate every template at every shift. Stores (T, S, K) complex
+        template spectra and (G, S) rx group energies; returns czt_freq."""
+        if shifts is None:
+            shifts = jnp.arange(
+                rx.shape[-1] - (int(self.group_starts[-1]) + self.length) + 1)
+        shifts = jnp.asarray(shifts)
+        bs = int(min(batch_size, shifts.shape[0]))
+        xc, rn = _group_xcorr_perms_impl(
+            rx, shifts, self.ygroups, self.template_phases,
+            jnp.asarray(self.group_starts),
+            jnp.asarray(self.ygroup_idxs),
+            m=self.length, k=self.plan.k, nfft=self.plan.nfft,
+            aa=self.plan.aa, fv=self.plan.fv, ww_tail=self.plan.ww_tail,
+            batch_size=bs)
+        # stored transposed to (T, S, K) / (G, S) like the reference
+        self.xc_templates = jnp.moveaxis(xc, 0, 1)
+        self.rx_group_norm_sq = jnp.moveaxis(rn, 0, 1)
+        return self.czt_freq
+
+    def get_caf(self, template_idx) -> jnp.ndarray:
+        """Combine one template choice per group into the (S, K) CAF
+        (reference getCAF)."""
+        template_idx = np.asarray(template_idx)
+        assert template_idx.size == self.num_groups
+        if self.xc_templates is None:
+            raise ValueError("Run xcorr() first.")
+        caf_cplx = 0
+        rxnormsq = 0
+        ynormsq = 0.0
+        for group in range(self.num_groups):
+            tnum = int(np.argwhere(self.ygroup_idxs == group)[
+                template_idx[group]][0])
+            caf_cplx = caf_cplx + self.xc_templates[tnum]
+            rxnormsq = rxnormsq + self.rx_group_norm_sq[group]
+            ynormsq += float(self.ygroups_energy[tnum])
+        return _abs_sq(caf_cplx) / rxnormsq[:, None] / ynormsq
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "k", "nfft", "batch_size"))
+def _group_xcorr_perms_impl(rx, shifts, ygroups, template_phases,
+                            group_starts, ygroup_idxs, *, m, k, nfft, aa, fv,
+                            ww_tail, batch_size):
+    def one_shift(shift):
+        gslices = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(rx, (shift + s,), (m,)))(group_starts)
+        rx_norm_sq = jnp.sum(_abs_sq(gslices), axis=-1)       # (G,)
+        tslices = gslices[ygroup_idxs]                        # (T, m)
+        pdt = tslices * ygroups                               # (T, m)
+        fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
+        g = jnp.fft.ifft(fy * fv, axis=-1)
+        pdtczt = g[:, m - 1: m + k - 1] * ww_tail             # (T, k)
+        return pdtczt * template_phases, rx_norm_sq
+
+    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)

@@ -187,3 +187,35 @@ class ESPRIT(CovarianceTechnique):
         w, v = np.linalg.eig(phi)
         freqs = np.angle(w) / (2 * np.pi) * fs
         return freqs, u, s, vh, rx
+
+
+def music_xcorr(cutout, rx, f_search, ftap, fs: float, dsr: int, plist,
+                musicrows: int = 130, shifts=None):
+    """MUSIC-based xcorr: per shift, filter + polyphase-downsample the
+    rx*conj(cutout) product and run MUSIC over all downsample phases as
+    snapshots (reference musicXcorr, /root/reference/xcorrRoutines.py:378).
+
+    Returns {p: (num_shifts, len(f_search)) pseudospectrum grid}.
+    """
+    cutout = np.asarray(cutout)
+    rx = np.asarray(rx)
+    ftap = np.asarray(ftap)
+    cutoutconj = cutout.conj()
+    music = MUSIC(musicrows, snapshot_jump=1, fwd_bwd=True)
+    fs_ds = fs / dsr
+    if shifts is None:
+        shifts = np.arange(len(rx) - len(cutout) + 1)
+    plist = np.atleast_1d(plist)
+    resultsgrid = {int(p): np.zeros((len(shifts), len(f_search)))
+                   for p in plist}
+    f_search = np.asarray(f_search)
+    for i, s in enumerate(shifts):
+        pdt = rx[s: s + len(cutout)] * cutoutconj
+        pdtfilt = sps.lfilter(ftap, 1, pdt)
+        phases = {k: pdtfilt[len(ftap) // 2 + k:: dsr] for k in range(dsr)}
+        f, u, sv, vh, rxcov = music.run(phases, f_search / fs_ds, plist,
+                                        use_signal_as_numerator=True)
+        f = np.atleast_2d(f)
+        for k, p in enumerate(plist):
+            resultsgrid[int(p)][i, :] = f[k]
+    return resultsgrid

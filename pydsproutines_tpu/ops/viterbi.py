@@ -166,3 +166,177 @@ def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
     (metrics, windows, paths), _ = jax.lax.scan(
         step, (metrics0, windows0, paths0), jnp.arange(1, pathlen))
     return paths, metrics
+
+
+class BurstyViterbiDemodulator(ViterbiDemodulator):
+    """Trellis demod of periodic bursts with guard gaps (reference
+    BurstyViterbiDemodulator, viterbiDemodClasses.py:263).
+
+    Symbols are laid out as repeating periods of ``num_burst_syms`` active
+    symbols followed by ``num_guard_syms`` silent ones. During guard periods
+    all survivor paths freeze; at each new burst every surviving end-state is
+    fully connected to the allowed start states, with the branch metric
+    spanning the guard gap (the synthesized pulse tail + zeros must match the
+    observation there too).
+
+    Implemented as one ``lax.scan`` whose step switches between
+    normal / guard-skip / new-burst behaviour on (n mod period); survivor
+    windows carry ``pulselen/up + num_guard_syms`` symbols so the new-burst
+    branch can synthesize across the gap without replaying the whole path.
+    """
+
+    def __init__(self, alphabet, pretransitions, pulses, omegas, up: int,
+                 num_burst_syms: int, num_guard_syms: int,
+                 allowed_start_idx=None):
+        if allowed_start_idx is None:
+            allowed_start_idx = np.arange(len(alphabet))
+        super().__init__(alphabet, pretransitions, pulses, omegas, up,
+                         allowed_start_idx)
+        self.num_burst_syms = int(num_burst_syms)
+        self.num_guard_syms = int(num_guard_syms)
+        self.num_period_syms = self.num_burst_syms + self.num_guard_syms
+
+    def run(self, y: jnp.ndarray, pathlen: int):
+        y = jnp.asarray(y, dtype=jnp.complex64)
+        a_mask = np.zeros(self.alphabet.shape[0], dtype=bool)
+        a_mask[self.allowed_start_idx] = True
+        paths, metrics = _bursty_viterbi_run(
+            y, self.alphabet, self.pretransitions, self.pulses, self.omegas,
+            jnp.asarray(a_mask), up=self.up, pulselen=self.pulselen,
+            k_syms=self.pulse_len_in_syms, pathlen=int(pathlen),
+            burst=self.num_burst_syms, guard=self.num_guard_syms)
+        best = jnp.argmin(metrics)
+        # guard-period symbols are never decided — they are silent (0), as in
+        # the reference where paths[n] stays 0 through guard periods
+        phase = jnp.arange(pathlen) % self.num_period_syms
+        active = phase < self.num_burst_syms
+        symvals = jnp.where(active[None, :], self.alphabet[paths], 0)
+        return symvals[best], metrics, symvals
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("up", "pulselen", "k_syms", "pathlen", "burst", "guard"))
+def _bursty_viterbi_run(y, alphabet, pretransitions, pulses, omegas,
+                        start_mask, *, up, pulselen, k_syms, pathlen, burst,
+                        guard):
+    A = alphabet.shape[0]
+    T = pretransitions.shape[1]
+    ylen = y.shape[0]
+    period = burst + guard
+    W = k_syms + guard                    # carry window length in symbols
+    guardlen = guard * up
+    extlen = guardlen + pulselen
+    inf = jnp.float32(jnp.inf)
+    ypad = jnp.concatenate([y, jnp.zeros(extlen + up, dtype=y.dtype)])
+
+    def synth_span(window, t_abs_start, nsamps_pulse, lead_syms):
+        """Synthesize model samples at absolute times t_abs_start +
+        [0, nsamps_pulse) from the last (lead_syms) symbols of ``window``
+        whose final symbol sits at absolute symbol position covering
+        t_abs_start's span end. Uses the full W-length window; conv start
+        offset selects the span."""
+        upw = jnp.zeros(W * up, dtype=window.dtype).at[::up].set(window)
+
+        def one_src(pulse, omega):
+            c = jnp.convolve(upw, pulse, mode="full")
+            seg = jax.lax.dynamic_slice(c, ((W - 1 - lead_syms) * up,),
+                                        (nsamps_pulse,))
+            t = (t_abs_start + jnp.arange(nsamps_pulse)).astype(jnp.float32)
+            return seg * jnp.exp(-1j * omega * t)
+        return jnp.sum(jax.vmap(one_src)(pulses, omegas), axis=0)
+
+    def normal_step(n, metrics, windows, paths):
+        yseg = jax.lax.dynamic_slice(ypad, (n * up,), (pulselen,))
+        valid = (n * up + jnp.arange(pulselen)) < ylen
+
+        def per_state(p):
+            def per_trans(t):
+                q = pretransitions[p, t]
+                w = jnp.concatenate([windows[q, 1:], alphabet[p][None]])
+                s = synth_span(w, n * up, pulselen, 0)
+                d = jnp.where(valid, yseg - s, 0.0)
+                return jnp.sum(jnp.abs(d) ** 2), jnp.sum(jnp.abs(d[:up]) ** 2)
+            return jax.vmap(per_trans)(jnp.arange(T))
+        full, short = jax.vmap(per_state)(jnp.arange(A))
+        pre_inf = jnp.isinf(metrics)[pretransitions]
+        full = jnp.where(pre_inf, inf, full)
+        short = jnp.where(pre_inf, inf, short)
+        best_t = jnp.argmin(full, axis=1)
+        best_q = jnp.take_along_axis(pretransitions, best_t[:, None], axis=1)[:, 0]
+        all_inf = jnp.all(jnp.isinf(full), axis=1)
+        new_metrics = jnp.where(
+            all_inf, inf,
+            metrics[best_q] + jnp.take_along_axis(short, best_t[:, None],
+                                                  axis=1)[:, 0])
+        new_paths = paths[best_q].at[:, n].set(jnp.arange(A, dtype=jnp.int32))
+        new_windows = jnp.concatenate(
+            [windows[best_q, 1:], alphabet[:, None]], axis=1)
+        return new_metrics, new_windows, new_paths
+
+    def guard_step(n, metrics, windows, paths):
+        # freeze paths/metrics; the window still slides (a zero symbol enters)
+        new_windows = jnp.concatenate(
+            [windows[:, 1:], jnp.zeros((A, 1), dtype=windows.dtype)], axis=1)
+        return metrics, new_windows, paths
+
+    def newburst_step(n, metrics, windows, paths):
+        yseg = jax.lax.dynamic_slice(ypad, ((n - guard) * up,), (extlen,))
+        valid = ((n - guard) * up + jnp.arange(extlen)) < ylen
+
+        def per_state(p):
+            def per_prev(q):
+                w = jnp.concatenate([windows[q, 1:], alphabet[p][None]])
+                s = synth_span(w, (n - guard) * up, extlen, guard)
+                d = jnp.where(valid, yseg - s, 0.0)
+                full = jnp.sum(jnp.abs(d) ** 2)
+                short = jnp.sum(jnp.abs(d[: guardlen + up]) ** 2)
+                return full, short
+            return jax.vmap(per_prev)(jnp.arange(A))
+        full, short = jax.vmap(per_state)(jnp.arange(A))   # (A_p, A_q)
+        pre_inf = jnp.isinf(metrics)[None, :]
+        full = jnp.where(pre_inf | ~start_mask[:, None], inf, full)
+        short = jnp.where(pre_inf | ~start_mask[:, None], inf, short)
+        best_q = jnp.argmin(full, axis=1)
+        all_inf = jnp.all(jnp.isinf(full), axis=1)
+        new_metrics = jnp.where(
+            all_inf, inf,
+            metrics[best_q] + jnp.take_along_axis(short, best_q[:, None],
+                                                  axis=1)[:, 0])
+        new_paths = jnp.where(all_inf[:, None], paths,
+                              paths[best_q].at[:, n].set(
+                                  jnp.arange(A, dtype=jnp.int32)))
+        new_windows = jnp.where(
+            all_inf[:, None],
+            jnp.concatenate([windows[:, 1:],
+                             jnp.zeros((A, 1), windows.dtype)], axis=1),
+            jnp.concatenate([windows[best_q, 1:], alphabet[:, None]], axis=1))
+        return new_metrics, new_windows, new_paths
+
+    # initial step (n = 0) — same as the base demodulator
+    init_windows = jnp.zeros((A, W), dtype=alphabet.dtype)
+    init_windows = init_windows.at[:, -1].set(alphabet)
+
+    def init_metric(a):
+        s = synth_span(init_windows[a], 0, pulselen, 0)
+        return jnp.sum(jnp.abs(ypad[:up] - s[:up]) ** 2)
+    metrics0 = jnp.where(start_mask, jax.vmap(init_metric)(jnp.arange(A)), inf)
+    paths0 = jnp.zeros((A, pathlen), dtype=jnp.int32)
+    paths0 = paths0.at[:, 0].set(jnp.arange(A, dtype=jnp.int32))
+    windows0 = jnp.where(start_mask[:, None], init_windows, 0)
+
+    def step(carry, n):
+        metrics, windows, paths = carry
+        phase = n % period
+        mode = jnp.where(phase == 0, 1, jnp.where(phase >= burst, 2, 0))
+        out = jax.lax.switch(
+            mode,
+            [lambda args: normal_step(*args),
+             lambda args: newburst_step(*args),
+             lambda args: guard_step(*args)],
+            (n, metrics, windows, paths))
+        return out, None
+
+    (metrics, windows, paths), _ = jax.lax.scan(
+        step, (metrics0, windows0, paths0), jnp.arange(1, pathlen))
+    return paths, metrics

@@ -55,22 +55,27 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
         raise ValueError("Filter tap length must be an integer multiple of N.")
 
     nprime_pts = x.shape[-1] // dec
-    taps = jnp.flip(f_tap.astype(x.dtype))  # taps reversed: index L-1-j <-> f_tap[j]
 
-    # window for output row i covers x[i*dec - (L-1) .. i*dec]; pad front with
-    # L-1 zeros (plus one more slot so slice i*dec+L stays in range at i=0).
-    xp = jnp.concatenate([jnp.zeros(L - 1, dtype=x.dtype), x])
+    if n == dec:
+        # Polyphase fast path: dft_in[r, a] = sum_b x[r*N - b*N - a] * h[b*N+a]
+        # is N parallel causal FIR filters (taps h[:, a] = f_tap[a::N] in b) on
+        # the polyphase components x_a[k] = x[k*N - a] — a grouped depthwise
+        # convolution, reading each input sample once (no L/Dec window
+        # duplication; the reference C threads this per-phase,
+        # cpuWolaDll.c:68).
+        dft_in = _wola_polyphase_fold(f_tap.astype(x.dtype), x, n, nprime_pts)
+    else:
+        taps = jnp.flip(f_tap.astype(x.dtype))  # index L-1-j <-> f_tap[j]
+        # window for output row i covers x[i*dec - (L-1) .. i*dec]
+        xp = jnp.concatenate([jnp.zeros(L - 1, dtype=x.dtype), x])
 
-    def row(i):
-        w = jax.lax.dynamic_slice(xp, (i * dec,), (L,))
-        # w[k] = x[i*dec - (L-1) + k]; with reversed taps the product aligns
-        # x[i*dec - j] * f_tap[j].
-        prod = w * taps
-        # fold: dft_in[a] = sum_b prod at j = b*n + a -> reversed index k = L-1-j
-        folded = jnp.flip(prod).reshape(L // n, n).sum(axis=0)
-        return folded
+        def row(i):
+            w = jax.lax.dynamic_slice(xp, (i * dec,), (L,))
+            prod = w * taps
+            folded = jnp.flip(prod).reshape(L // n, n).sum(axis=0)
+            return folded
 
-    dft_in = jax.vmap(row)(jnp.arange(nprime_pts))
+        dft_in = jax.vmap(row)(jnp.arange(nprime_pts))
     out = jnp.fft.ifft(dft_in, axis=-1) * n
 
     if n == 2 * dec:
@@ -81,6 +86,33 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
         flip = jnp.where(chan_odd[None, :], row_sign[:, None], 1.0)
         out = out * flip.astype(out.dtype)
     return out.astype(x.dtype)
+
+
+def _wola_polyphase_fold(f_tap, x, n, nprime_pts):
+    """Polyphase WOLA fold for N == Dec via per-phase causal FIR.
+
+    x_a[k] = x[k*N - a] (zero for negative index); dft_in[:, a] =
+    lfilter(h_a, 1, x_a) with h_a[b] = f_tap[b*N + a].
+    """
+    L = f_tap.shape[-1]
+    B = L // n
+    # xp[m] = x[m - N]; row/col mapping: x_a[k] = xp[(k+1)*N - a]
+    xp = jnp.concatenate([jnp.zeros(n, dtype=x.dtype),
+                          x[: nprime_pts * n]])
+    xp2 = xp.reshape(nprime_pts + 1, n)
+    # phases[k, a]: a == 0 -> xp2[k+1, 0]; a >= 1 -> xp2[k, n-a]
+    col0 = xp2[1:, 0:1]                              # (nprime_pts, 1)
+    rest = xp2[:-1, :0:-1]                           # (nprime_pts, n-1): cols n-1..1
+    phases = jnp.concatenate([col0, rest], axis=1)   # (nprime_pts, n)
+    # taps per phase: h_a[b] = f_tap[b*n + a] -> (B, n); FIR over k (rows)
+    h = f_tap.reshape(B, n)
+    # causal FIR down the rows for each phase column: pad B-1 zeros in front
+    padded = jnp.concatenate(
+        [jnp.zeros((B - 1, n), dtype=x.dtype), phases], axis=0)
+    idx = jnp.arange(nprime_pts)[:, None] + jnp.arange(B)[None, :]
+    windows = padded[idx]                            # (nprime_pts, B, n)
+    # dft_in[r, a] = sum_b windows[r, B-1-b, a] * h[b, a]
+    return jnp.einsum("rba,ba->ra", windows, jnp.flip(h, axis=0))
 
 
 class Channeliser:

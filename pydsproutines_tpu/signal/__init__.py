@@ -16,6 +16,12 @@ from pydsproutines_tpu.signal.creation import (
     PSK_CONSTELLATIONS,
 )
 from pydsproutines_tpu.signal.pulses import make_src4, make_scaled_src4
+from pydsproutines_tpu.signal.channelsim import (
+    SampledLinearInterpolator,
+    ConstAmpSigLerp,
+    ConstAmpSigLerpBursty,
+    ConstAmpSigLerpBurstyMulti,
+)
 
 __all__ = [
     "rand_bits",
@@ -31,4 +37,8 @@ __all__ = [
     "PSK_CONSTELLATIONS",
     "make_src4",
     "make_scaled_src4",
+    "SampledLinearInterpolator",
+    "ConstAmpSigLerp",
+    "ConstAmpSigLerpBursty",
+    "ConstAmpSigLerpBurstyMulti",
 ]
