@@ -87,9 +87,14 @@ class CZT:
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _czt_run(x, aa, fv, ww_tail, m, k, nfft):
+    from pydsproutines_tpu.ops.fft import get_fft_plan
+
+    plan = get_fft_plan(nfft, str(np.dtype(x.dtype)))
     y = x * aa
-    fy = jnp.fft.fft(y, n=nfft, axis=-1)
-    g = jnp.fft.ifft(fy * fv, axis=-1)
+    pad = [(0, 0)] * (y.ndim - 1) + [(0, nfft - y.shape[-1])]
+    fy = plan(jnp.pad(y, pad))
+    prod = fy * fv
+    g = jnp.conj(plan(jnp.conj(prod))) / nfft     # ifft via the same plan
     return g[..., m - 1: m + k - 1] * ww_tail
 
 

@@ -76,7 +76,17 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
             return folded
 
         dft_in = jax.vmap(row)(jnp.arange(nprime_pts))
-    out = jnp.fft.ifft(dft_in, axis=-1) * n
+    # The final per-row length-N inverse DFT: for the small N used by
+    # channelizers this is an MXU matmul against the conjugate DFT matrix
+    # (out = ifft(dft_in)*N = dft_in @ conj(W_N)), much faster than XLA's
+    # batched small FFT on TPU.
+    if n <= 2048:
+        import numpy as _np
+        k = _np.arange(n, dtype=_np.float64)
+        wconj = _np.exp(2j * _np.pi * _np.mod(_np.outer(k, k), n) / n)
+        out = dft_in @ jnp.asarray(wconj.astype(x.dtype))
+    else:
+        out = jnp.fft.ifft(dft_in, axis=-1) * n
 
     if n == 2 * dec:
         # negate odd channels on (globally) odd rows
@@ -104,15 +114,19 @@ def _wola_polyphase_fold(f_tap, x, n, nprime_pts):
     col0 = xp2[1:, 0:1]                              # (nprime_pts, 1)
     rest = xp2[:-1, :0:-1]                           # (nprime_pts, n-1): cols n-1..1
     phases = jnp.concatenate([col0, rest], axis=1)   # (nprime_pts, n)
-    # taps per phase: h_a[b] = f_tap[b*n + a] -> (B, n); FIR over k (rows)
-    h = f_tap.reshape(B, n)
-    # causal FIR down the rows for each phase column: pad B-1 zeros in front
-    padded = jnp.concatenate(
-        [jnp.zeros((B - 1, n), dtype=x.dtype), phases], axis=0)
-    idx = jnp.arange(nprime_pts)[:, None] + jnp.arange(B)[None, :]
-    windows = padded[idx]                            # (nprime_pts, B, n)
-    # dft_in[r, a] = sum_b windows[r, B-1-b, a] * h[b, a]
-    return jnp.einsum("rba,ba->ra", windows, jnp.flip(h, axis=0))
+    # taps per phase: h_a[b] = f_tap[b*n + a] -> flipped for correlation form
+    h = f_tap.reshape(B, n)                          # real taps
+    kernel = jnp.flip(h, axis=0).T[:, None, :]       # (n, 1, B)
+    rdt = kernel.real.dtype
+    # grouped causal conv on the re/im planes (taps are real)
+    planes = jnp.stack([phases.real, phases.imag]).astype(rdt)  # (2, T, n)
+    planes = jnp.moveaxis(planes, -1, 1)             # (2, n, T)
+    out = jax.lax.conv_general_dilated(
+        planes, kernel.astype(rdt), window_strides=(1,),
+        padding=[(B - 1, 0)], feature_group_count=n,
+        dimension_numbers=("NCW", "OIW", "NCW"))     # (2, n, T)
+    out = jnp.moveaxis(out, 1, -1)                   # (2, T, n)
+    return (out[0] + 1j * out[1]).astype(x.dtype)
 
 
 class Channeliser:
