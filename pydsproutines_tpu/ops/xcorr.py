@@ -180,6 +180,14 @@ def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
     shifts = jnp.asarray(shifts)
     if shifts.shape[0] == 0:
         raise ValueError("shifts must be non-empty")
+    try:  # host-side validation when shifts are concrete
+        max_shift = int(np.max(np.asarray(shifts)))
+        if max_shift + cutout.shape[-1] > rx.shape[-1]:
+            raise ValueError(
+                f"max shift {max_shift} + cutout length {cutout.shape[-1]} "
+                f"exceeds rx length {rx.shape[-1]}")
+    except TypeError:
+        pass  # traced shifts: caller must guarantee range
     batch_size = int(min(batch_size, shifts.shape[0]))
     return _fast_xcorr_impl(
         cutout, rx, shifts, n=cutout.shape[-1], freqsearch=bool(freqsearch),
