@@ -296,3 +296,24 @@ def test_viz_smoke(key):
     fig6, _ = viz.plot_filter_response(np.ones(8) / 8)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_pallas_sliding_kernel_interpret(key):
+    """Pallas sliding matched-filter kernel (interpret mode) matches the
+    reference formulation and finds a planted template."""
+    import numpy as np
+    from pydsproutines_tpu.ops.pallas.sliding import (
+        sliding_multiply_normalised, sliding_multiply_normalised_reference)
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal(2000)
+         + 1j * rng.standard_normal(2000)).astype(np.complex64)
+    t = (rng.standard_normal((3, 48))
+         + 1j * rng.standard_normal((3, 48))).astype(np.complex64)
+    x[700:748] += 4 * t[1]
+    out = np.asarray(sliding_multiply_normalised(
+        jnp.asarray(x), t, tile=128, interpret=True))
+    ref = sliding_multiply_normalised_reference(x, t)
+    assert out.shape == ref.shape == (3, 2000 - 48 + 1)
+    assert np.max(np.abs(out - ref)) < 1e-5
+    ti, si = np.unravel_index(np.argmax(out), out.shape)
+    assert (ti, si) == (1, 700)
