@@ -209,3 +209,39 @@ pro_myproc
 
     cfg.load_section("myworkspace")
     assert set(cfg.processes) == {"myproc"}
+
+
+def test_xcorr_viewer_cli(tmp_path, capsys):
+    """Headless DB browser lists, describes, and plots result rows
+    (reference xcorrDatabase/viewer.py capability, headless)."""
+    import numpy as np
+    from pydsproutines_tpu.io.xcorrdb import XcorrDB
+    from pydsproutines_tpu.viz import xcorr_viewer
+
+    dbp = str(tmp_path / "v.db")
+    db = XcorrDB(dbp)
+    base = dict(time_sec=1, tidx=0, cutoutlen=100, td_scan_start=0.0,
+                td_scan_numsteps=32, td_scan_step=1.0, fd_scan_start=-8.0,
+                fd_scan_numsteps=16, fd_scan_step=1.0, rfd_scan_start=0.0,
+                rfd_scan_numsteps=0, rfd_scan_step=0.0)
+    db.create_xcorr_results_table("t1", 1e9, 1_000_000, "a", "b",
+                                  XcorrDB.TYPE_1D)
+    qf2 = np.zeros(32); qf2[7] = 0.9
+    db.insert_1d_result("t1", base, qf2, np.arange(32))
+    db.create_xcorr_results_table("t2", 1e9, 1_000_000, "a", "b",
+                                  XcorrDB.TYPE_2D)
+    caf = np.random.default_rng(0).random((32, 16))
+    db.insert_2d_result("t2", base, caf)
+    db.close()
+
+    xcorr_viewer.main([dbp])
+    out = capsys.readouterr().out
+    assert "t1" in out and "t2" in out
+
+    xcorr_viewer.main([dbp, "t1"])
+    out = capsys.readouterr().out
+    assert "peak qf2=0.9000 at step 7" in out
+
+    png = str(tmp_path / "caf.png")
+    xcorr_viewer.main([dbp, "t2", "--row", "0", "--plot", png])
+    assert (tmp_path / "caf.png").stat().st_size > 1000
