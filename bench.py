@@ -34,19 +34,26 @@ def main():
     nshifts = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
-    rxlen = n + nshifts
+    rxlen = n + nshifts + 16   # headroom for the rep-offset shift bases
     rng = np.random.default_rng(0)
     cutout_ri = rng.standard_normal((2, n), dtype=np.float32)
     rx_ri = rng.standard_normal((2, rxlen), dtype=np.float32)
 
-    @functools.partial(jax.jit, static_argnames=("batch_size",))
-    def step(cut_ri, r_ri, shifts, batch_size):
+    @functools.partial(jax.jit, static_argnames=("batch_size", "n_reps"))
+    def step(cut_ri, r_ri, shifts, batch_size, n_reps):
         cut = jax.lax.complex(cut_ri[0], cut_ri[1])
         r = jax.lax.complex(r_ri[0], r_ri[1])
-        qf2, freqs = _fast_xcorr_impl(
-            cut, r, shifts, n=n, freqsearch=True, output_caf=False,
-            abs_result=True, batch_size=batch_size, step=1)
-        return qf2, freqs.astype(jnp.int32)
+
+        def one_rep(base):
+            qf2, freqs = _fast_xcorr_impl(
+                cut, r, shifts + base, n=n, freqsearch=True, output_caf=False,
+                abs_result=True, batch_size=batch_size, step=1)
+            return qf2, freqs.astype(jnp.int32)
+
+        # n_reps full sweeps at distinct shift bases inside one dispatch so
+        # device time can be separated from the fixed dispatch+fetch floor
+        # (~27 ms on the axon tunnel) by differencing rep counts.
+        return jax.lax.map(one_rep, jnp.arange(n_reps))
 
     shifts = jnp.arange(nshifts)
     d_cut = jax.device_put(jnp.asarray(cutout_ri))
@@ -56,18 +63,24 @@ def main():
     # not actually wait for remote execution, and identical dispatches are
     # memoized — timing must force a host fetch of the (small, real) outputs
     # and vary the input each repetition.
-    out = step(d_cut, d_rx, shifts, batch)
-    np.asarray(out[0])
+    r_lo, r_hi = 1, 4
 
-    reps = 3
-    times = []
-    for rep in range(reps):
-        shifts_r = shifts + (rep + 1)  # distinct dispatch each rep
-        t0 = time.perf_counter()
-        out = step(d_cut, d_rx, shifts_r, batch)
-        np.asarray(out[0])  # host fetch forces completion
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    def timed(n_reps, base0):
+        ts = []
+        for rep in range(3):
+            shifts0 = shifts + base0 + rep  # distinct dispatch each rep
+            t0 = time.perf_counter()
+            out = step(d_cut, d_rx, shifts0, batch, n_reps)
+            np.asarray(out[0][0])  # host fetch forces completion
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    timed(r_lo, 0)  # warm both programs
+    timed(r_hi, 0)
+    t_lo = timed(r_lo, 1)
+    t_hi = timed(r_hi, 1)
+    # per-sweep device time with the constant dispatch overhead differenced out
+    dt = max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
 
     rate = n * nshifts / dt / 1e9            # G(sample*shift)/s
     baseline = 1_000_000 * 128 / 0.29 / 1e9  # reference GPU best: 0.4414 G/s

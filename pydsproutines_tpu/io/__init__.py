@@ -10,6 +10,7 @@ from pydsproutines_tpu.io.binfiles import (
     SortedFolderReader,
     GroupReader,
     GroupDatabase,
+    StreamingCaptureLoader,
 )
 from pydsproutines_tpu.io.xcorrdb import XcorrDB
 from pydsproutines_tpu.io.config import (
@@ -28,6 +29,7 @@ __all__ = [
     "SortedFolderReader",
     "GroupReader",
     "GroupDatabase",
+    "StreamingCaptureLoader",
     "XcorrDB",
     "DSPConfig",
     "SourceSection",

@@ -328,3 +328,122 @@ class GroupDatabase:
     def get_all_groups(self, tablename: str):
         return self.cur.execute(
             f"SELECT * FROM {tablename} ORDER BY gidx").fetchall()
+
+
+# ---------------------------------------------------------------------------
+# Streaming capture pipeline (native ring buffer)
+# ---------------------------------------------------------------------------
+
+_STREAM_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libdspstream.so"),
+    os.path.join(os.path.dirname(__file__), "libdspstream.so"),
+]
+
+
+def _load_stream_native():
+    for p in _STREAM_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+                lib.stream_open.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int]
+                lib.stream_open.restype = ctypes.c_void_p
+                lib.stream_next.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+                lib.stream_next.restype = ctypes.c_int
+                lib.stream_close.argtypes = [ctypes.c_void_p]
+                lib.stream_close.restype = None
+                return lib
+            except OSError:
+                continue
+    return None
+
+
+_stream_native = _load_stream_native()
+
+
+class StreamingCaptureLoader:
+    """Ordered streaming frames over a list of int16 capture files, with a
+    halo of previous-frame samples prepended to each frame — the warm-up
+    history a streaming filter / Channeliser needs (reference delay-line
+    semantics, filterRoutines.py:663-675; prefetch model usrpRoutines.py:246).
+
+    Backed by the native ring-buffer pipeline (native/stream_pipeline.cpp)
+    when built; otherwise a ThreadPoolExecutor prefetch fallback with
+    identical output. Iterate to get (frame_index, complex64 array of
+    halo + samps_per_file samples); use as a context manager to release the
+    reader pool.
+    """
+
+    def __init__(self, filenames, samps_per_file: int, halo: int = 0,
+                 num_workers: int = 4, ring_capacity: int = 8):
+        if halo < 0 or halo > samps_per_file:
+            raise ValueError("halo must be in [0, samps_per_file]")
+        self.filenames = [str(f) for f in filenames]
+        self.samps_per_file = int(samps_per_file)
+        self.halo = int(halo)
+        self._native = _stream_native
+        self._handle = None
+        self._idx = 0
+        if self._native is not None and self.filenames:
+            arr = (ctypes.c_char_p * len(self.filenames))(
+                *[f.encode() for f in self.filenames])
+            self._handle = self._native.stream_open(
+                arr, len(self.filenames), self.samps_per_file, self.halo,
+                int(num_workers), int(ring_capacity))
+            if not self._handle:
+                raise RuntimeError("stream_open failed (bad arguments)")
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=int(num_workers))
+            self._futures = [
+                self._pool.submit(simple_bin_read, f, self.samps_per_file)
+                for f in self.filenames[:int(ring_capacity)]]
+            self._submitted = len(self._futures)
+            self._tail = np.zeros(self.halo, np.complex64)
+            self._cap = int(ring_capacity)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._idx >= len(self.filenames):
+            raise StopIteration
+        i = self._idx
+        if self._handle is not None:
+            out = np.empty((self.halo + self.samps_per_file) * 2, np.float32)
+            rc = self._native.stream_next(
+                self._handle, out.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)))
+            if rc < 0:
+                raise IOError(
+                    f"stream_next failed with {rc} on {self.filenames[i]}")
+            frame = out.view(np.complex64)
+        else:
+            data = self._futures[i % self._cap].result()
+            if self._submitted < len(self.filenames):
+                self._futures[self._submitted % self._cap] = self._pool.submit(
+                    simple_bin_read, self.filenames[self._submitted],
+                    self.samps_per_file)
+                self._submitted += 1
+            frame = np.concatenate([self._tail, data])
+            if self.halo:
+                self._tail = data[-self.halo:].copy()
+        self._idx = i + 1
+        return i, frame
+
+    def close(self):
+        if self._handle is not None:
+            self._native.stream_close(self._handle)
+            self._handle = None
+        elif hasattr(self, "_pool"):
+            self._pool.shutdown(wait=False)
