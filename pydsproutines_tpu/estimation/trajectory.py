@@ -203,3 +203,74 @@ def create_triangular_spaced_points(num_pts: int, dist: float = 1.0,
     if make3d:
         pts = np.hstack([pts, np.zeros((num_pts, 1))])
     return pts
+
+
+# ---------------------------------------------------------------------------
+# Transceiver family (reference trajectoryRoutines.py:443-520)
+# ---------------------------------------------------------------------------
+
+class Transceiver:
+    """Position/velocity tracks sampled at common times (reference
+    Transceiver, trajectoryRoutines.py:443; plotting is matplotlib here)."""
+
+    def __init__(self, x, xdot, t, marker: str = "x", color: str = "b"):
+        self.x = np.asarray(x, np.float64)
+        self.xdot = np.asarray(xdot, np.float64)
+        self.t = np.asarray(t, np.float64)
+        self.marker = marker
+        self.color = color
+
+    @classmethod
+    def as_stationary(cls, x, t):
+        x = np.asarray(x, np.float64)
+        return cls(x, np.zeros(x.shape), t)
+
+    @staticmethod
+    def plot_flat_2d(transceivers, idx, ax=None):
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots()
+        for i, tr in enumerate(transceivers):
+            if i > 0 and not np.array_equal(tr.t, transceivers[0].t):
+                raise ValueError("all transceivers must share the time base")
+            ax.plot(tr.x[idx, 0], tr.x[idx, 1], linestyle="none",
+                    marker=tr.marker, color=tr.color)
+        return ax
+
+
+class Receiver(Transceiver):
+    def __init__(self, x, xdot, t, marker: str = "x", color: str = "r"):
+        super().__init__(x, xdot, t, marker, color)
+
+
+class Transmitter(Transceiver):
+    def __init__(self, x, xdot, t, marker: str = "o", color: str = "b"):
+        super().__init__(x, xdot, t, marker, color)
+
+    def theoretical_range_diff(self, rx1: Receiver, rx2: Receiver):
+        """range(self -> rx2) - range(self -> rx1) per sample (reference
+        Transmitter.theoreticalRangeDiff, trajectoryRoutines.py:513)."""
+        if not (np.array_equal(self.t, rx1.t) and np.array_equal(self.t, rx2.t)):
+            raise ValueError("time bases must match")
+        r1 = np.linalg.norm(rx1.x - self.x, axis=1)
+        r2 = np.linalg.norm(rx2.x - self.x, axis=1)
+        return r2 - r1
+
+    def plot_hyperbola_flat(self, rx1: Receiver, rx2: Receiver, idx: int = 0,
+                            rangediff: float | None = None, z: float = 0.0,
+                            half_num_pts: int = 100, orthostep: float = 0.1,
+                            ax=None):
+        """Plot the TDOA hyperbola for the sensor pair at sample ``idx``
+        (reference plotHyperbolaFlat, trajectoryRoutines.py:520)."""
+        from pydsproutines_tpu.estimation.localization import (
+            generate_hyperbola_xy)
+        import matplotlib.pyplot as plt
+        if rangediff is None:
+            rangediff = self.theoretical_range_diff(rx1, rx2)[idx]
+        hyp = generate_hyperbola_xy(half_num_pts, float(rangediff),
+                                    rx1.x[idx], rx2.x[idx], z=z,
+                                    orthostep=orthostep)
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.plot(hyp[:, 0], hyp[:, 1], color=self.color)
+        return ax, hyp

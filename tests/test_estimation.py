@@ -282,3 +282,93 @@ def test_calc_foa():
     t_xdot = np.zeros((1, 3))
     foa = calc_foa(r_x, r_xdot, t_x, t_xdot, freq=1e9)
     assert np.isclose(foa[0], 100.0 / C * 1e9)
+
+
+def test_hyperbola_trace_stays_on_curve():
+    """Traced hyperbola points satisfy rdoa == rangediff and pass near the
+    true emitter (reference generateHyperbolaXY semantics)."""
+    from pydsproutines_tpu.estimation import (generate_hyperbola_xy,
+                                              range_difference_of_arrival)
+    s1 = np.array([-1000.0, 0.0, 0.0])
+    s2 = np.array([1000.0, 0.0, 0.0])
+    target = np.array([300.0, 700.0, 0.0])
+    rd = (np.linalg.norm(target - s2) - np.linalg.norm(target - s1))
+    hyp = generate_hyperbola_xy(200, rd, s1, s2, z=0.0, orthostep=20.0)
+    assert hyp.shape == (401, 3)
+    errs = np.abs(range_difference_of_arrival(hyp, s1, s2) - rd)
+    assert np.max(errs) < 1e-6 * abs(rd) + 1e-6
+    # the curve passes through the true position
+    assert np.min(np.linalg.norm(hyp - target, axis=1)) < 25.0
+
+
+def test_blind_linear_rtt_grid_search():
+    """Blind linear RTT localizes despite an unknown clock ramp (reference
+    gridSearchBlindLinearRTT)."""
+    from pydsproutines_tpu.estimation import grid_search_blind_linear_rtt
+    C = 299792458.0
+    rng = np.random.default_rng(4)
+    target = np.array([2500.0, -1200.0, 0.0])
+    n = 24
+    tx = rng.uniform(-8000, 8000, size=(n, 3)); tx[:, 2] = 0.0
+    t = np.linspace(0, 10, n)
+    gamma = 2 * np.linalg.norm(tx - target, axis=1) / C
+    toa = gamma + 3e-6 * t + 5e-6      # unknown drift + offset
+    xr = np.linspace(-5000, 5000, 41)
+    yr = np.linspace(-5000, 5000, 41)
+    xm, ym = np.meshgrid(xr, yr)
+    grid = np.stack([xm.ravel(), ym.ravel(), np.zeros(xm.size)], axis=1)
+    cost = np.asarray(grid_search_blind_linear_rtt(
+        tx, tx, t, toa, np.full(n, 1e-9), grid))
+    best = grid[np.argmin(cost)]
+    assert np.linalg.norm(best[:2] - target[:2]) < 300.0
+
+
+def test_blind_linear_rtt_crb_sane():
+    from pydsproutines_tpu.estimation import calc_crb_blind_linear_rtt
+    rng = np.random.default_rng(1)
+    x = np.array([100.0, 50.0, 10.0])
+    s = rng.uniform(-5000, 5000, size=(3, 12))
+    t = np.linspace(0, 5, 12)
+    crb = calc_crb_blind_linear_rtt(x, s, s, t, np.full(12, 1.0))
+    assert crb.shape == (5, 5)
+    evals = np.linalg.eigvalsh(crb)
+    assert np.all(evals > 0)
+
+
+def test_grid_localizer_tdoa_mixin():
+    """OO localizer: TDMixin.run + localize find the emitter."""
+    from pydsproutines_tpu.estimation import TDOAGridLocalizer
+    C = 299792458.0
+    target = np.array([120.0, -80.0, 0.0])
+    sensors = np.array([[1000.0, 0, 0], [-1000, 300, 0],
+                        [200, -900, 0], [-400, 800, 0]])
+    s1 = np.repeat(sensors[:1], 3, axis=0)
+    s2 = sensors[1:]
+    td = (np.linalg.norm(s2 - target, axis=1)
+          - np.linalg.norm(s1 - target, axis=1)) / C
+    loc = TDOAGridLocalizer.from_xy_meshgrid(
+        np.linspace(-500, 500, 101), np.linspace(-500, 500, 101))
+    cost = loc.run(s1, s2, td, np.full(3, 1e-9))
+    best = loc.localize(cost)
+    assert np.linalg.norm(best[:2] - target[:2]) < 15.0
+    ax, h = loc.plot(cost)
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_transceiver_family():
+    from pydsproutines_tpu.estimation import Transmitter, Receiver
+    t = np.arange(5.0)
+    txpos = np.tile([0.0, 500.0, 0.0], (5, 1))
+    tx = Transmitter.as_stationary(txpos, t)
+    r1 = Receiver.as_stationary(np.tile([-1000.0, 0, 0], (5, 1)), t)
+    r2 = Receiver.as_stationary(np.tile([1000.0, 0, 0], (5, 1)), t)
+    rd = tx.theoretical_range_diff(r1, r2)
+    expected = (np.linalg.norm([1000.0, -500.0, 0])
+                - np.linalg.norm([-1000.0, -500.0, 0]))
+    np.testing.assert_allclose(rd, expected)
+    ax, hyp = tx.plot_hyperbola_flat(r1, r2, idx=0, half_num_pts=50,
+                                     orthostep=30.0)
+    assert hyp.shape == (101, 3)
+    import matplotlib.pyplot as plt
+    plt.close("all")
