@@ -138,6 +138,29 @@ class FourStepFFT:
                 lambda xx: _matmul_fft_stage(xx, factors, w, tw, 0))
         return self._fn(x)
 
+    # -- permuted-output path: skips every inter-stage output transpose.
+    # Bin k of the true spectrum sits at permuted position j with
+    # k = permutation[j]; peak searches argmax the permuted spectrum and remap
+    # the one winning index, saving a full HBM transpose pass per batch.
+
+    def call_permuted(self, x: jnp.ndarray) -> jnp.ndarray:
+        """DFT with digit-reversed output order (see ``permutation``)."""
+        if not self.viable:
+            return jnp.fft.fft(x, axis=-1)
+        if not hasattr(self, "_fn_perm"):
+            factors = tuple(self.factors)
+            w, tw = self.stage_w, self.stage_tw
+            self._fn_perm = jax.jit(
+                lambda xx: _matmul_fft_stage_permuted(xx, factors, w, tw, 0))
+        return self._fn_perm(x)
+
+    @property
+    def permutation(self) -> np.ndarray:
+        """int32 host array: true bin index for each call_permuted position."""
+        if not hasattr(self, "_perm"):
+            self._perm = _fft_output_perm(self.factors).astype(np.int32)
+        return self._perm
+
 
 def _matmul_fft_stage(x, factors, stage_w, stage_tw, s):
     """Recursive stage: DFT of length prod(factors[s:]) along the last axis.
@@ -153,6 +176,31 @@ def _matmul_fft_stage(x, factors, stage_w, stage_tw, s):
     r = _matmul_fft_stage(g, factors, stage_w, stage_tw, s + 1)  # [..., k1, krest]
     # X[k1 + n1*krest] -> krest-major flatten
     return jnp.swapaxes(r, -1, -2).reshape(x.shape[:-1] + (m,))
+
+
+def _matmul_fft_stage_permuted(x, factors, stage_w, stage_tw, s):
+    """As _matmul_fft_stage but flattening k1-major (no transposes): position
+    (k1, j) holds true bin k1 + n1 * perm_rest[j]."""
+    n1 = factors[s]
+    if s == len(factors) - 1:
+        return jnp.einsum("kn,...n->...k", stage_w[s], x)
+    m = x.shape[-1]
+    rest = m // n1
+    b = x.reshape(x.shape[:-1] + (n1, rest))
+    f1 = jnp.einsum("kn,...nm->...km", stage_w[s], b)
+    g = f1 * stage_tw[s]
+    r = _matmul_fft_stage_permuted(g, factors, stage_w, stage_tw, s + 1)
+    return r.reshape(x.shape[:-1] + (m,))
+
+
+def _fft_output_perm(factors) -> np.ndarray:
+    """True-bin index per permuted position for _matmul_fft_stage_permuted."""
+    if len(factors) == 1:
+        return np.arange(factors[0], dtype=np.int64)
+    n1 = factors[0]
+    inner = _fft_output_perm(factors[1:])
+    return (np.arange(n1, dtype=np.int64)[:, None]
+            + n1 * inner[None, :]).reshape(-1)
 
 
 

@@ -128,10 +128,23 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
     cutout_norm = jnp.sqrt(cutout_norm_sq)
     cutout_conj = jnp.conj(cutout)
     fft_plan = get_fft_plan(n, str(np.dtype(cutout.dtype)))
+    # windowed rx energies from one prefix sum instead of reducing every
+    # gathered slice — saves a full pass over the (batch, n) batch. Gated on
+    # window/total ratio: the f32 running sum's absolute error scales with
+    # the total, so short windows against long captures keep the exact path
+    # (relative error ~ eps * rxlen / n).
+    use_cumsum = n * 1024 >= rx.shape[-1]
+    if use_cumsum:
+        power_cumsum = jnp.concatenate([
+            jnp.zeros(1, rdt), jnp.cumsum(_abs_sq(rx).astype(rdt))])
 
     def chunk_fn(chunk):
-        slices = gather_shift_slices(rx, chunk, n, step)
-        rx_norm_sq = jnp.sum(_abs_sq(slices), axis=-1)
+        if use_cumsum:
+            rx_norm_sq = power_cumsum[chunk + n] - power_cumsum[chunk]
+            slices = gather_shift_slices(rx, chunk, n, step)
+        else:
+            slices = gather_shift_slices(rx, chunk, n, step)
+            rx_norm_sq = jnp.sum(_abs_sq(slices), axis=-1)
         if not freqsearch:
             # vdot semantics: sum(conj(rx_slice) * cutout)
             prod = jnp.sum(jnp.conj(slices) * cutout, axis=-1)
@@ -139,19 +152,31 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
                 return _abs_sq(prod) / cutout_norm_sq / rx_norm_sq
             return prod / cutout_norm / jnp.sqrt(rx_norm_sq)
         pdt = slices * cutout_conj
-        pdtfft = fft_plan(pdt)
         if output_caf:
+            pdtfft = fft_plan(pdt)
             mag_sq = _abs_sq(pdtfft)
             if abs_result:
                 return mag_sq / cutout_norm_sq / rx_norm_sq[:, None]
             return pdtfft / cutout_norm / jnp.sqrt(rx_norm_sq)[:, None]
+        if fft_plan.viable:
+            # peak search doesn't need bin order: argmax the permuted
+            # spectrum (skips the inter-stage transpose pass) and remap only
+            # the winning index through the plan's permutation table
+            pdtfft = fft_plan.call_permuted(pdt)
+            perm = jnp.asarray(fft_plan.permutation)
+        else:
+            pdtfft = fft_plan(pdt)
+            perm = None
         mag_sq = _abs_sq(pdtfft)
         imax, pmax = argmax_and_max_last(mag_sq)
+        imax_true = perm[imax] if perm is not None else imax
         if abs_result:
-            return pmax / cutout_norm_sq / rx_norm_sq, imax.astype(jnp.uint32)
+            return (pmax / cutout_norm_sq / rx_norm_sq,
+                    imax_true.astype(jnp.uint32))
+        # peak value lives at the *storage* index; report the true bin
         peak = jnp.take_along_axis(pdtfft, imax[:, None], axis=-1)[:, 0]
         return (peak / cutout_norm / jnp.sqrt(rx_norm_sq),
-                imax.astype(jnp.uint32))
+                imax_true.astype(jnp.uint32))
 
     return _chunked_map(chunk_fn, shifts, batch_size, step)
 

@@ -196,3 +196,21 @@ def test_argmax2d():
     m = jnp.asarray(np.arange(12).reshape(3, 4))
     i, j = argmax2d(m)
     assert (int(i), int(j)) == (2, 3)
+
+
+def test_fast_xcorr_freqsearch_parity_large_plan(key):
+    """Exercises the matmul-FFT plan path (n >= 4096): permuted-spectrum
+    argmax + prefix-sum window energies must match the numpy reference
+    exactly in peak bin and to tolerance in QF^2."""
+    cutout, rx = _make_scene(key, n_cutout=5000, n_rx=8192, start=1777,
+                             fshift=0.0031)
+    from pydsproutines_tpu.ops.fft import get_fft_plan
+    assert get_fft_plan(5000, "complex128").viable
+    shifts = np.arange(1700, 1860)
+    ours_qf2, ours_freq = fast_xcorr(
+        jnp.asarray(cutout), jnp.asarray(rx), freqsearch=True,
+        shifts=jnp.asarray(shifts), batch_size=32)
+    ref_qf2, ref_freq = _np_fast_xcorr_freqscan(cutout, rx, shifts)
+    assert np.max(np.abs(np.asarray(ours_qf2) - ref_qf2)) < 1e-7
+    assert np.array_equal(np.asarray(ours_freq), ref_freq)
+    assert shifts[np.argmax(np.asarray(ours_qf2))] == 1777
