@@ -34,6 +34,7 @@ from pydsproutines_tpu.ops.detection import (
     BurstDetector,
     energy_detection,
 )
+from pydsproutines_tpu.ops.multicorr import MultiPreambleCorrelator
 from pydsproutines_tpu.ops.groupxcorr import (
     GroupXcorrCZTPermutations,
     GroupXcorr,
@@ -85,6 +86,7 @@ __all__ = [
     "GroupXcorrCZT",
     "GroupXcorrFFT",
     "TemplateCrossCorrelator",
+    "MultiPreambleCorrelator",
     "SimpleDemodulatorPSK",
     "SimpleDemodulatorBPSK",
     "SimpleDemodulatorQPSK",

@@ -146,3 +146,41 @@ def test_template_cross_correlator(key):
     best, idx = np.asarray(best), np.asarray(idx)
     assert idx[100] == 0 and idx[300] == 1
     assert best[100] > 0.9 and best[300] > 0.9
+
+
+def test_multi_preamble_correlator(key):
+    """FFT-subset multi-preamble correlator (reference ippMultiCorrelator
+    design README, implemented here): finds the right preamble, time index,
+    and carrier-offset column on a synthetic oversampled scene."""
+    import scipy.signal as sps
+    from pydsproutines_tpu.ops import MultiPreambleCorrelator
+    from pydsproutines_tpu.signal import rand_psk_syms
+
+    rng = np.random.default_rng(9)
+    k_, l_, osr = 3, 32, 4
+    fsp = 1000.0
+    fs = osr * fsp
+    pres = np.stack([
+        np.asarray(rand_psk_syms(jax.random.key(i), l_, 4,
+                                 dtype=jnp.complex128)[0])
+        for i in range(k_)]).astype(np.complex64)
+    # oversample preamble 1 and plant it with a one-bin carrier offset
+    up = sps.resample_poly(pres[1], osr, 1).astype(np.complex64)
+    n = 4000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64) * 0.05
+    start = 1234
+    df = fsp / l_   # one preamble bin
+    tone = np.exp(2j * np.pi * df * np.arange(up.size) / fs)
+    x[start:start + up.size] += (up * tone).astype(np.complex64)
+
+    mc = MultiPreambleCorrelator(pres, osr)
+    shifts = np.arange(1200, 1280)
+    qf2 = np.asarray(mc.correlate(jnp.asarray(x), jnp.asarray(shifts)))
+    assert qf2.shape == (k_, shifts.size, mc.c)
+    ki, si, ci = np.unravel_index(np.argmax(qf2), qf2.shape)
+    assert ki == 1
+    assert shifts[si] == start
+    offs = mc.freq_offsets(fsp)
+    assert abs(offs[ci] - df) < fsp / l_ / 2 + 1e-9
+    assert qf2[ki, si, ci] > 0.5
