@@ -317,3 +317,26 @@ def test_pallas_sliding_kernel_interpret(key):
     assert np.max(np.abs(out - ref)) < 1e-5
     ti, si = np.unravel_index(np.argmax(out), out.shape)
     assert (ti, si) == (1, 700)
+
+
+def test_fused_freq_scan_xcorr_interpret(key):
+    """Pallas fused gather+modulate+two-stage-DFT+argmax pipeline matches
+    fast_xcorr's freq-scan exactly (interpret mode)."""
+    import numpy as np
+    from pydsproutines_tpu.ops.pallas import fused_freq_scan_xcorr
+    from pydsproutines_tpu.ops import fast_xcorr
+
+    rng = np.random.default_rng(15)
+    n, nsh = 4096, 24
+    rx = (rng.standard_normal(n + 120)
+          + 1j * rng.standard_normal(n + 120)).astype(np.complex64)
+    cut = (rx[33:33 + n]
+           * np.exp(-2j * np.pi * 0.0071 * np.arange(n))).astype(np.complex64)
+    qf2, bins = fused_freq_scan_xcorr(cut, rx, 20, nsh, batch=8,
+                                      tile_m=128, tile_k=128, interpret=True)
+    ref_qf2, ref_bins = fast_xcorr(jnp.asarray(cut), jnp.asarray(rx),
+                                   freqsearch=True,
+                                   shifts=jnp.arange(20, 20 + nsh))
+    assert np.max(np.abs(np.asarray(qf2) - np.asarray(ref_qf2))) < 1e-6
+    assert np.array_equal(np.asarray(bins), np.asarray(ref_bins))
+    assert 20 + int(np.argmax(np.asarray(qf2))) == 33

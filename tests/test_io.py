@@ -297,3 +297,48 @@ def test_streaming_capture_loader(tmp_path):
     ldr2.close()
     for (i, f1), f2 in zip(enumerate(got), frames2):
         np.testing.assert_array_equal(f1, f2[halo:])
+
+
+def test_checkpointed_xcorr_pipeline(tmp_path):
+    """Resumable block processing: interrupting after some blocks and
+    re-running completes only the missing ones; global peak is found
+    (results-level checkpoint semantics, SURVEY.md §5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pydsproutines_tpu.io.xcorrdb import XcorrDB
+    from pydsproutines_tpu.models.pipeline import CheckpointedXcorrPipeline
+
+    rng = np.random.default_rng(3)
+    n, nshifts = 512, 2048
+    template = (rng.standard_normal(n)
+                + 1j * rng.standard_normal(n)).astype(np.complex64)
+    rx = (rng.standard_normal(nshifts + n)
+          + 1j * rng.standard_normal(nshifts + n)).astype(np.complex64) * 0.3
+    rx[900:900 + n] += template
+
+    db = XcorrDB(str(tmp_path / "ckpt.db"))
+    pipe = CheckpointedXcorrPipeline(db, "job1", template, fs=1e6,
+                                     block_shifts=512)
+    assert pipe.num_blocks(rx.shape[-1]) == 4
+
+    # simulate a partial run: process blocks 0-1 then "crash"
+    full = CheckpointedXcorrPipeline(db, "job1", template, fs=1e6,
+                                     block_shifts=512)
+    rxj = jnp.asarray(rx)
+    for bi in range(2):
+        s0 = bi * 512
+        from pydsproutines_tpu.ops.xcorr import fast_xcorr
+        qf2, freqs = fast_xcorr(jnp.asarray(template), rxj, freqsearch=True,
+                                shifts=jnp.arange(s0, s0 + 512))
+        db.insert_1d_result("job1", full._base(bi), np.asarray(qf2),
+                            np.asarray(freqs))
+    assert full.completed_blocks() == {0, 1}
+
+    # resume: only 2 remaining blocks computed
+    computed = full.run(rxj)
+    assert computed == 2
+    assert full.completed_blocks() == {0, 1, 2, 3}
+    # idempotent
+    assert full.run(rxj) == 0
+    shift, qf2v, _ = full.peak()
+    assert shift == 900 and qf2v > 0.5
