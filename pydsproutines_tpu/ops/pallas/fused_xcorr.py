@@ -89,27 +89,15 @@ class FusedXcorrPlan:
         self.tw_im = _pad2(tw.imag.astype(np.float32), self.n1p, self.n2p)
 
 
-def _stage1_kernel(zre_a, zim_a, zre_b, zim_b, ccre, ccim,
-                   w1re, w1im, twre, twim, gre_out, gim_out,
-                   *, tile_m: int, n1p: int):
+def _stage1_kernel(zre, zim, ccre, ccim, w1re, w1im, twre, twim,
+                   gre_out, gim_out, *, tile_m: int, n1p: int):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b = pl.program_id(1)
-    # The window for in-chunk shift b needs z columns [m0+b, m0+b+tile_m):
-    # unaligned dynamic DMA offsets are not lowerable, so two adjacent
-    # block-pipelined tiles are concatenated and rotated left by b lanes
-    # in-register (the tiles are cached across the inner b grid dim).
-    w = 2 * tile_m
-    zw_re = jnp.concatenate([zre_a[:, :], zre_b[:, :]], axis=1)
-    zw_im = jnp.concatenate([zim_a[:, :], zim_b[:, :]], axis=1)
-    shift = jnp.where(b == 0, 0, w - b)
-    ztr = pltpu.roll(zw_re, shift, 1)[:, :tile_m]
-    zti = pltpu.roll(zw_im, shift, 1)[:, :tile_m]
 
     dot = functools.partial(jax.lax.dot_general,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
+    ztr = zre[0, :, :]                                # (n1p, tile_m)
+    zti = zim[0, :, :]
     ctr = ccre[:, :]
     cti = ccim[:, :]
     # pdt = z * cc  (cc already conjugated on host)
@@ -178,26 +166,30 @@ def _fused_chunk(window_re, window_im, consts, *, n1, n2, n1p, n2p, zcols,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # halo matrix: row r = window[r*n2 : r*n2 + zcols]
-    starts = jnp.arange(n1) * n2
-    zre = jax.vmap(lambda s: jax.lax.dynamic_slice(
-        window_re, (s,), (zcols,)))(starts)
-    zim = jax.vmap(lambda s: jax.lax.dynamic_slice(
-        window_im, (s,), (zcols,)))(starts)
-    zre = jnp.pad(zre, ((0, n1p - n1), (0, 0)))
-    zim = jnp.pad(zim, ((0, n1p - n1), (0, 0)))
+    # per-shift window matrices: zmat3[b, r, :] = window[b + r*n2 : +n2p]
+    # (built in XLA — float32 planes are half the size of the complex
+    # gathered-product batch the unfused path materializes, and the cc
+    # multiply + twiddle + stage-2 spectrum never touch HBM at all)
+    bb, rr = jnp.meshgrid(jnp.arange(batch), jnp.arange(n1) * n2,
+                          indexing="ij")
+    starts = (bb + rr).reshape(-1)
+    zre = jax.vmap(lambda st: jax.lax.dynamic_slice(
+        window_re, (st,), (n2p,)))(starts).reshape(batch, n1, n2p)
+    zim = jax.vmap(lambda st: jax.lax.dynamic_slice(
+        window_im, (st,), (n2p,)))(starts).reshape(batch, n1, n2p)
+    zre = jnp.pad(zre, ((0, 0), (0, n1p - n1), (0, 0)))
+    zim = jnp.pad(zim, ((0, 0), (0, n1p - n1), (0, 0)))
 
+    z_spec = pl.BlockSpec((1, n1p, tile_m), lambda mi, b: (b, 0, mi))
     tile_spec = pl.BlockSpec((n1p, tile_m), lambda mi, b: (0, mi))
-    next_spec = pl.BlockSpec((n1p, tile_m), lambda mi, b: (0, mi + 1))
     const_spec1 = pl.BlockSpec((n1p, n1p), lambda mi, b: (0, 0))
-    grid1 = (n2p // tile_m, batch)        # b innermost: z/cc/tw tiles cached
+    grid1 = (n2p // tile_m, batch)        # b innermost: cc/tw tiles cached
     g_shape = jax.ShapeDtypeStruct((batch, n1p, n2p), jnp.float32)
     gre, gim = pl.pallas_call(
         functools.partial(_stage1_kernel, tile_m=tile_m, n1p=n1p),
         grid=grid1,
         in_specs=[
-            tile_spec, tile_spec,                     # z tile at mi
-            next_spec, next_spec,                     # z tile at mi + 1
+            z_spec, z_spec,                           # per-shift z tiles
             tile_spec, tile_spec,                     # cc tiles
             const_spec1, const_spec1,                 # w1 (resident block)
             tile_spec, tile_spec,                     # tw tiles
@@ -208,7 +200,7 @@ def _fused_chunk(window_re, window_im, consts, *, n1, n2, n1p, n2p, zcols,
         ],
         out_shape=[g_shape, g_shape],
         interpret=interpret,
-    )(zre, zim, zre, zim, consts["cc_re"], consts["cc_im"],
+    )(zre, zim, consts["cc_re"], consts["cc_im"],
       consts["w1_re"], consts["w1_im"], consts["tw_re"], consts["tw_im"])
 
     const_spec2 = pl.BlockSpec((n2p, n2p), lambda b, ki: (0, 0))
@@ -287,7 +279,7 @@ def fused_freq_scan_xcorr(cutout, rx, shifts0: int, num_shifts: int,
     if not plan.viable:
         raise ValueError(f"no viable two-factor plan for n={n}")
     nchunks = -(-num_shifts // batch)
-    wlen = (plan.n1 - 1) * plan.n2 + plan.zcols
+    wlen = plan.batch + (plan.n1 - 1) * plan.n2 + plan.n2p
     need = shifts0 + (nchunks - 1) * batch + wlen
     # host numpy inputs: conjugate/pad/split on host (no complex transfers)
     if isinstance(rx, np.ndarray):
