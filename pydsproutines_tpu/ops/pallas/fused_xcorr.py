@@ -25,6 +25,13 @@ frequency bin is k1 + n1*k2, identical to FourStepFFT.permutation. Reference
 semantics: xcorrRoutines.py:460 fastXcorr freq scan (QF^2 + peak bin).
 
 Complex data moves as separate re/im float32 planes (no complex in Mosaic).
+
+STATUS: experimental. Semantics are exact (interpret-mode parity tests vs
+fast_xcorr), but the v5e-measured wall time is far off the XLA path — the
+XLA-side per-shift window gather (16K dynamic slices) dominates, and compile
+times through the remote AOT compiler are ~18 min. The production freq-scan
+path remains ops/xcorr.fast_xcorr (5.8 Gsample-shift/s on v5e); this module
+documents the fusion structure for a future round of kernel work.
 """
 
 from __future__ import annotations
