@@ -161,6 +161,39 @@ class FourStepFFT:
             self._perm = _fft_output_perm(self.factors).astype(np.int32)
         return self._perm
 
+    # -- fused peak path: twiddle+stage2+|.|^2+argmax in one Pallas kernel,
+    # so the (batch, N) spectrum never round-trips HBM. Only the winning
+    # (magnitude^2, bin) per transform comes back.
+
+    def peak_viable(self, mode: str = "bf16") -> bool:
+        """True when call_peak can run: a two-factor plan whose stage-2
+        matrix + row tiles fit the VMEM budget of the fused kernel."""
+        if not self.viable or len(self.factors) != 2:
+            return False
+        from pydsproutines_tpu.ops.pallas.fft_peak import pick_row_tile
+        n1, n2 = self.factors
+        return pick_row_tile(n1, n2, n2, mode) is not None
+
+    def call_peak(self, x: jnp.ndarray, mode: str = "bf16",
+                  interpret: bool = False):
+        """(peak |X[k]|^2, argmax bin k) over the DFT of each row of x,
+        without materializing the spectrum. ``mode`` selects MXU precision
+        ("bf16" ~1e-2 spectrum rel err / "bf16x3" ~1e-5 / "f32" ~5e-7).
+        """
+        from pydsproutines_tpu.ops.pallas.fft_peak import stage2_caf_peak
+        n1, n2 = self.factors
+        prec = {"bf16": jax.lax.Precision.DEFAULT,
+                "bf16x3": jax.lax.Precision.HIGH,
+                "f32": jax.lax.Precision.HIGHEST}[mode]
+        lead = x.shape[:-1]
+        b = x.reshape((-1, n1, n2))
+        f1 = jnp.einsum("kn,bnm->bkm", jnp.asarray(self.stage_w[0]), b,
+                        precision=prec)
+        pmax, true_bin = stage2_caf_peak(
+            f1, self.stage_tw[0], self.stage_w[1], n1, mode=mode,
+            interpret=interpret)
+        return pmax.reshape(lead), true_bin.reshape(lead)
+
 
 def _matmul_fft_stage(x, factors, stage_w, stage_tw, s):
     """Recursive stage: DFT of length prod(factors[s:]) along the last axis.

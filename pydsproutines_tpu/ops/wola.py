@@ -115,14 +115,14 @@ def _wola_polyphase_fold(f_tap, x, n, nprime_pts):
     rest = xp2[:-1, :0:-1]                           # (nprime_pts, n-1): cols n-1..1
     phases = jnp.concatenate([col0, rest], axis=1)   # (nprime_pts, n)
     # taps per phase: h_a[b] = f_tap[b*n + a] -> flipped for correlation form
-    h = f_tap.reshape(B, n)                          # real taps
+    h = f_tap.real.reshape(B, n)                     # taps are real-valued
     kernel = jnp.flip(h, axis=0).T[:, None, :]       # (n, 1, B)
-    rdt = kernel.real.dtype
+    rdt = kernel.dtype
     # grouped causal conv on the re/im planes (taps are real)
     planes = jnp.stack([phases.real, phases.imag]).astype(rdt)  # (2, T, n)
     planes = jnp.moveaxis(planes, -1, 1)             # (2, n, T)
     out = jax.lax.conv_general_dilated(
-        planes, kernel.astype(rdt), window_strides=(1,),
+        planes, kernel, window_strides=(1,),
         padding=[(B - 1, 0)], feature_group_count=n,
         dimension_numbers=("NCW", "OIW", "NCW"))     # (2, n, T)
     out = jnp.moveaxis(out, 1, -1)                   # (2, T, n)

@@ -20,6 +20,7 @@ normalized 0..1 correlation power.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -116,13 +117,19 @@ def _uniform_step(shifts) -> int | None:
 # fastXcorr
 # ---------------------------------------------------------------------------
 
+# MXU precision for the FFT stages of the peak search (spectrum rel err on
+# v5e: bf16 ~1e-2, bf16x3 ~1e-5, f32 ~5e-7); see ops/pallas/fft_peak.py.
+_DEFAULT_FFT_MODE = os.environ.get("PDSP_FFT_PRECISION", "bf16")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "freqsearch", "output_caf", "abs_result",
-                     "batch_size", "step"),
+                     "batch_size", "step", "fft_mode", "interpret"),
 )
 def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
-                     abs_result, batch_size, step=None):
+                     abs_result, batch_size, step=None,
+                     fft_mode=_DEFAULT_FFT_MODE, interpret=False):
     rdt = real_dtype_for(cutout.dtype)
     cutout_norm_sq = jnp.sum(_abs_sq(cutout)).astype(rdt)
     cutout_norm = jnp.sqrt(cutout_norm_sq)
@@ -158,6 +165,15 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
             if abs_result:
                 return mag_sq / cutout_norm_sq / rx_norm_sq[:, None]
             return pdtfft / cutout_norm / jnp.sqrt(rx_norm_sq)[:, None]
+        if (abs_result and fft_plan.viable
+                and cutout.dtype == jnp.complex64
+                and fft_plan.peak_viable(fft_mode)):
+            # fused Pallas path: twiddle+stage2+|.|^2+argmax in one kernel;
+            # the (batch, n) spectrum never round-trips HBM
+            pmax, ibin = fft_plan.call_peak(pdt, mode=fft_mode,
+                                            interpret=interpret)
+            return (pmax / cutout_norm_sq / rx_norm_sq,
+                    ibin.astype(jnp.uint32))
         if fft_plan.viable:
             # peak search doesn't need bin order: argmax the permuted
             # spectrum (skips the inter-stage transpose pass) and remap only
@@ -183,7 +199,7 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
 
 def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
                output_caf: bool = False, shifts=None, abs_result: bool = True,
-               batch_size: int = 128):
+               batch_size: int = 128, precision: str | None = None):
     """Sliding-window normalized xcorr with optional per-shift frequency scan
     (reference fastXcorr, xcorrRoutines.py:460).
 
@@ -194,7 +210,10 @@ def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
 
     ``batch_size`` controls the static chunk of shifts processed per step of
     the internal ``lax.map`` stream (the reference GPU BATCH loop,
-    xcorrRoutines.py:84-151).
+    xcorrRoutines.py:84-151). ``precision`` selects the MXU mode of the
+    large-N FFT stages: "bf16" (fastest, spectrum rel err ~1e-2 — peak-search
+    grade), "bf16x3" (~1e-5 — parity grade), or "f32" (~5e-7); default from
+    $PDSP_FFT_PRECISION, else "bf16".
     """
     if cutout.shape[-1] > rx.shape[-1]:
         raise ValueError(
@@ -217,7 +236,9 @@ def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
     return _fast_xcorr_impl(
         cutout, rx, shifts, n=cutout.shape[-1], freqsearch=bool(freqsearch),
         output_caf=bool(output_caf), abs_result=bool(abs_result),
-        batch_size=batch_size, step=step)
+        batch_size=batch_size, step=step,
+        fft_mode=precision or _DEFAULT_FFT_MODE,
+        interpret=jax.devices()[0].platform != "tpu")
 
 
 # ---------------------------------------------------------------------------

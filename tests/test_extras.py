@@ -334,8 +334,10 @@ def test_fused_freq_scan_xcorr_interpret(key):
            * np.exp(-2j * np.pi * 0.0071 * np.arange(n))).astype(np.complex64)
     qf2, bins = fused_freq_scan_xcorr(cut, rx, 20, nsh, batch=8,
                                       tile_m=128, tile_k=128, interpret=True)
+    # precision="f32" pins fast_xcorr's MXU stages to full f32 so the two
+    # pipelines agree to float tolerance (default "bf16" is peak-search grade)
     ref_qf2, ref_bins = fast_xcorr(jnp.asarray(cut), jnp.asarray(rx),
-                                   freqsearch=True,
+                                   freqsearch=True, precision="f32",
                                    shifts=jnp.arange(20, 20 + nsh))
     assert np.max(np.abs(np.asarray(qf2) - np.asarray(ref_qf2))) < 1e-6
     assert np.array_equal(np.asarray(bins), np.asarray(ref_bins))
