@@ -32,7 +32,7 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     nshifts = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 
     rxlen = n + nshifts + 16   # headroom for the rep-offset shift bases
     rng = np.random.default_rng(0)

@@ -207,7 +207,18 @@ def stage2_caf_peak(f1: jnp.ndarray, tw: np.ndarray, w2: np.ndarray,
     jnp.argmax(|fft(x)|**2) semantics (first-occurrence ties in the permuted
     k1-major order, identical to FourStepFFT.call_permuted peak searches).
     """
-    b, k1, j = f1.shape
+    return stage2_caf_peak_planes(
+        f1.real.astype(jnp.float32), f1.imag.astype(jnp.float32),
+        tw, w2, n1, mode=mode, k1t=k1t, interpret=interpret)
+
+
+def stage2_caf_peak_planes(f1r: jnp.ndarray, f1i: jnp.ndarray,
+                           tw: np.ndarray, w2: np.ndarray, n1: int,
+                           mode: str = "bf16", k1t: int | None = None,
+                           interpret: bool = False):
+    """As stage2_caf_peak but over separate (B, K1, J) float32 re/im planes
+    (the layout Pallas producers hand over directly)."""
+    b, k1, j = f1r.shape
     w2t = np.ascontiguousarray(np.asarray(w2).T)       # (J, K2)
     k2 = w2t.shape[1]
     if k1t is None:
@@ -235,8 +246,7 @@ def stage2_caf_peak(f1: jnp.ndarray, tw: np.ndarray, w2: np.ndarray,
             w2r_lo = w2i_lo = np.zeros((1, 1), bf16)
 
     out_max, out_idx = _stage2_peak_pallas(
-        f1.real.astype(jnp.float32), f1.imag.astype(jnp.float32),
-        jnp.asarray(twr), jnp.asarray(twi),
+        f1r, f1i, jnp.asarray(twr), jnp.asarray(twi),
         jnp.asarray(w2r), jnp.asarray(w2i), w2r_lo, w2i_lo,
         k1t=int(k1t), mode=mode, interpret=interpret)
 

@@ -1,37 +1,39 @@
-"""Fused frequency-scanning xcorr: Pallas two-kernel pipeline.
+"""Fused frequency-scanning xcorr: single-kernel Pallas CAF peak search.
 
-The XLA formulation of fastXcorr's freq scan (ops/xcorr.py) moves ~2 GB of
-HBM per 16-shift chunk at n=1M: gathered product write+read, two matmul-FFT
-stage passes, and a full-spectrum magnitude/argmax read. Per the v5e stage
-timings that pins the op at the HBM roofline, not the MXU. This module
-removes the two biggest passes for the peak-search path (freqsearch=True,
-output_caf=False, unit-step shifts):
+Reference semantics: fastXcorr freq-scan peak search
+(/root/reference/xcorrRoutines.py:460,519-531) — for every shift s,
+argmax_k |FFT(rx[s:s+n] * conj(cutout))[k]|^2 with QF^2 normalization. The
+reference GPU path gathers window slices into a batch matrix
+(custom_kernels/copying.cu), runs cuFFT, and fuses only the argmax
+(argmax.cu:94). The XLA four-step formulation (ops/xcorr.py) is HBM-bound:
+the gathered product batch, the stage-1 planes, and (without the
+fft_peak kernel) the spectrum each round-trip HBM — ~2 GB per 16-shift
+chunk at n = 1M.
 
-  kernel 1  gather+modulate+DFT-stage-1+twiddle: reads each input sample
-            from a small (n1, n2 + B) halo matrix (~5 MB instead of a
-            256 MB gathered-product batch), multiplies by the conjugated
-            template tile, contracts with the VMEM-resident stage-1 DFT
-            matrix on the MXU, applies the twiddle, and writes the
-            intermediate g = (B, n1, n2) planes once.
+Here the ENTIRE per-shift pipeline runs inside one Pallas kernel with no
+HBM intermediates, exploiting v5e's large VMEM (~100 MB usable, probed):
 
-  kernel 2  DFT-stage-2+|.|^2+argmax: contracts g row-tiles with the
-            VMEM-resident stage-2 DFT matrix and reduces magnitude + flat
-            argmax entirely in VMEM — the length-n spectrum per shift never
-            touches HBM. Argmax uses the max-then-match idiom (equality
-            mask + iota min-reduce) for first-occurrence semantics.
+  grid = (chunks, shifts-per-chunk). Per chunk, one (n1, n2 + halo) window
+  tile serves every shift of the chunk — consecutive shifts are lane offsets
+  into the same tile, so the (B, n) gathered batch never exists. Per shift:
+  modulate by conj(cutout) (VPU) -> stage-1 DFT matmul + twiddle ->
+  stage-2 DFT matmul -> |.|^2 -> flat argmax, looped over k1 row tiles to
+  bound VMEM liveness, all on-chip. Only (max, argmax) scalars leave.
 
-Output bins are in the matmul FFT's permuted layout (k1-major); the true
-frequency bin is k1 + n1*k2, identical to FourStepFFT.permutation. Reference
-semantics: xcorrRoutines.py:460 fastXcorr freq scan (QF^2 + peak bin).
+HBM traffic per 128 x 1M sweep: ~130 MB (the overlap-rows window views +
+constants) vs ~16 GB for the unfused path. MXU work is unchanged — the
+kernel is matmul-bound, which is the point.
 
-Complex data moves as separate re/im float32 planes (no complex in Mosaic).
+Precision ladder matches ops/fft.py: "bf16" (~1e-2 spectrum rel err,
+peak-search grade), "bf16x3" (error-compensated 3-pass, ~1e-5), "f32"
+(Precision.HIGHEST, ~5e-7). fast_xcorr routes here automatically for
+unit/static-step shift sweeps on viable sizes; bins and tie-breaks match
+FourStepFFT.call_permuted argmax semantics (k1-major first occurrence).
 
-STATUS: experimental. Semantics are exact (interpret-mode parity tests vs
-fast_xcorr), but the v5e-measured wall time is far off the XLA path — the
-XLA-side per-shift window gather (16K dynamic slices) dominates, and compile
-times through the remote AOT compiler are ~18 min. The production freq-scan
-path remains ops/xcorr.fast_xcorr (5.8 Gsample-shift/s on v5e); this module
-documents the fusion structure for a future round of kernel work.
+Measured (v5e, 1M-sample cutout x 128 shifts, bf16, batch=128): 11.3 ms per
+sweep rep-differenced = 11.4 Gsample-shift/s, ~92% of the 197-Tflop/s bf16
+MXU roofline for the sweep's 2.05 Tflop — 1.9x the unfused XLA path (5.8)
+and ~26x the reference's published GPU number (0.44, benchmarks/README.md).
 """
 
 from __future__ import annotations
@@ -42,284 +44,318 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pydsproutines_tpu.ops.fft import best_two_factor
+# probed on v5e: 100 MB scratch compiles+runs, 120 MB does not
+_VMEM_CEILING = 96 * 1024 * 1024
+_INT_MAX = np.int32(2147483647)
 
 
-def _pad2(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
-    out = np.zeros((rows, cols), a.dtype)
-    out[:a.shape[0], :a.shape[1]] = a
-    return out
+def _bf16_split_np(a64: np.ndarray):
+    import ml_dtypes
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    hi = a64.astype(bf16)
+    lo = (a64 - hi.astype(np.float64)).astype(bf16)
+    return hi, lo
+
+
+def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
+                w1i_lo, w2r, w2i, w2r_lo, w2i_lo, out_max, out_idx, *,
+                n1: int, n2: int, k1t: int, step: int, mode: str):
+    """One shift: full modulate -> two-stage DFT -> |.|^2 -> argmax.
+
+    z_*: (1, n1, n2 + (B-1)*step) shared window planes for this chunk.
+    cc_*: (n1, n2) conjugated template planes. tw_*: (n1, n2) twiddle planes.
+    w1*: (n1, n1) stage-1 DFT planes; w2*: (n2, n2) TRANSPOSED stage-2 DFT
+    planes (contraction-ready); *_lo: bf16 low parts (bf16x3) or (1, 1)
+    dummies. out_*: (chunks, B) SMEM scalars per shift.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ci = pl.program_id(0)
+    b = pl.program_id(1)
+
+    # shift b's window sits step*b lanes into the shared chunk tile. Mosaic
+    # needs lane-slice starts provably 128-aligned, so extract via dynamic
+    # rotate: roll(z, s)[j] = z[(j - s) mod W] (right rotation), hence a
+    # left rotation by k = b*step is shift = (W - k) mod W; the kept columns
+    # [0, n2) never read wrapped lanes since n2 - 1 + k < W.
+    w = z_re.shape[2]
+    amt = jax.lax.rem(jnp.int32(w) - b * step, jnp.int32(w))
+    zr = pltpu.roll(z_re[0], amt, 1)[:, :n2]
+    zi = pltpu.roll(z_im[0], amt, 1)[:, :n2]
+    pr = zr * cc_re[:, :] - zi * cc_im[:, :]
+    pi = zr * cc_im[:, :] + zi * cc_re[:, :]
+
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dot32 = functools.partial(dot, precision=jax.lax.Precision.HIGHEST)
+
+    if mode == "bf16x3":
+        pr_hi = pr.astype(jnp.bfloat16)
+        pr_lo = (pr - pr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        pi_hi = pi.astype(jnp.bfloat16)
+        pi_lo = (pi - pi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    elif mode == "bf16":
+        prb = pr.astype(jnp.bfloat16)
+        pib = pi.astype(jnp.bfloat16)
+
+    best_m = jnp.full((), -1.0, jnp.float32)
+    best_i = jnp.full((), _INT_MAX, jnp.int32)
+    # k1 row tiles bound the liveness of the f1/g/r2/mag intermediates
+    for tk in range(n1 // k1t):
+        rows = slice(tk * k1t, (tk + 1) * k1t)
+        if mode == "f32":
+            f1r = dot32(w1r[rows, :], pr) - dot32(w1i[rows, :], pi)
+            f1i = dot32(w1r[rows, :], pi) + dot32(w1i[rows, :], pr)
+        elif mode == "bf16x3":
+            def mm1(whi, wlo, xhi, xlo):
+                return (dot(whi[rows, :], xhi) + dot(wlo[rows, :], xhi)) \
+                    + dot(whi[rows, :], xlo)
+            f1r = mm1(w1r, w1r_lo, pr_hi, pr_lo) - mm1(w1i, w1i_lo, pi_hi,
+                                                       pi_lo)
+            f1i = mm1(w1r, w1r_lo, pi_hi, pi_lo) + mm1(w1i, w1i_lo, pr_hi,
+                                                       pr_lo)
+        else:
+            f1r = dot(w1r[rows, :], prb) - dot(w1i[rows, :], pib)
+            f1i = dot(w1r[rows, :], pib) + dot(w1i[rows, :], prb)
+
+        gr = f1r * tw_re[rows, :] - f1i * tw_im[rows, :]
+        gi = f1r * tw_im[rows, :] + f1i * tw_re[rows, :]
+
+        if mode == "f32":
+            rr = dot32(gr, w2r[:, :]) - dot32(gi, w2i[:, :])
+            ri = dot32(gr, w2i[:, :]) + dot32(gi, w2r[:, :])
+        elif mode == "bf16x3":
+            gr_hi = gr.astype(jnp.bfloat16)
+            gr_lo = (gr - gr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            gi_hi = gi.astype(jnp.bfloat16)
+            gi_lo = (gi - gi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def mm2(xhi, xlo, whi, wlo):
+                return (dot(xhi, whi[:, :]) + dot(xhi, wlo[:, :])) \
+                    + dot(xlo, whi[:, :])
+            rr = mm2(gr_hi, gr_lo, w2r, w2r_lo) - mm2(gi_hi, gi_lo, w2i,
+                                                      w2i_lo)
+            ri = mm2(gr_hi, gr_lo, w2i, w2i_lo) + mm2(gi_hi, gi_lo, w2r,
+                                                      w2r_lo)
+        else:
+            rr = dot(gr.astype(jnp.bfloat16), w2r[:, :]) \
+                - dot(gi.astype(jnp.bfloat16), w2i[:, :])
+            ri = dot(gr.astype(jnp.bfloat16), w2i[:, :]) \
+                + dot(gi.astype(jnp.bfloat16), w2r[:, :])
+
+        mag = rr * rr + ri * ri                       # (k1t, n2)
+        tmax = jnp.max(mag)
+        kk1 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0) + tk * k1t
+        kk2 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+        flat = kk1 * n2 + kk2                         # k1-major permuted pos
+        tidx = jnp.min(jnp.where(mag >= tmax, flat, _INT_MAX))
+        take = tmax > best_m
+        best_i = jnp.where(take, tidx, best_i)
+        best_m = jnp.where(take, tmax, best_m)
+
+    out_max[ci, b] = best_m
+    out_idx[ci, b] = best_i
+
+
+def _vmem_estimate(n1: int, n2: int, k1t: int, halo: int, mode: str) -> int:
+    f32 = 4
+    wb = 4 if mode == "f32" else 2
+    nw = 4 if mode == "bf16x3" else 2
+    wcols = -(-(n2 + halo) // 128) * 128
+    z = 2 * n1 * wcols * f32 * 2                # double-buffered chunk tiles
+    cc = 2 * n1 * n2 * f32
+    tw = 2 * n1 * n2 * f32
+    w1 = nw * n1 * n1 * wb
+    w2 = nw * n2 * n2 * wb
+    pdt = 2 * n1 * n2 * (f32 + (0 if mode == "f32" else
+                                2 * (2 if mode == "bf16x3" else 1)))
+    tile = 2 * k1t * n2 * f32 * 3               # f1, g, r2/mag liveness
+    return z + cc + tw + w1 + w2 + pdt + tile
 
 
 class FusedXcorrPlan:
-    """Padded stage matrices + geometry for the fused freq-scan kernels."""
+    """Host-side constants + geometry for the fused CAF-peak kernel."""
 
-    def __init__(self, n: int, batch: int, tile_m: int = 128,
-                 tile_k: int = 256, mxu_dtype=np.float32):
+    def __init__(self, n: int, batch: int = 16, step: int = 1,
+                 mode: str = "bf16"):
+        from pydsproutines_tpu.ops.fft import best_two_factor
+        self.n, self.batch, self.step, self.mode = n, batch, step, mode
         factors = best_two_factor(n)
         self.viable = factors is not None and n >= 4096
         if not self.viable:
             return
-        self.n = n
         self.n1, self.n2 = factors
-        self.batch = batch
-        self.tile_m = tile_m
-        self.tile_k = tile_k
-        self.n1p = -(-self.n1 // max(128, tile_k)) * max(128, tile_k)
-        self.n2p = -(-self.n2 // tile_m) * tile_m
-        # halo matrix columns: per-row window n2p + batch offsets + slack so
-        # every (m0 + b, tile_m) column slice stays in bounds
-        self.zcols = self.n2p + 2 * tile_m
-        k1 = np.arange(self.n1, dtype=np.float64)
-        w1 = np.exp(-2j * np.pi * np.mod(np.outer(k1, k1), self.n1)
-                    / self.n1)
-        k2 = np.arange(self.n2, dtype=np.float64)
-        w2 = np.exp(-2j * np.pi * np.mod(np.outer(k2, k2), self.n2)
-                    / self.n2)
-        j = np.arange(self.n2, dtype=np.float64)
-        tw = np.exp(-2j * np.pi * np.mod(np.outer(k1, j), n) / n)
-        # stage matrices may be stored bf16: XLA's DEFAULT matmul precision
-        # rounds f32 operands to bf16 on the MXU anyway, so this matches the
-        # XLA path's numerics while halving VMEM residency
-        import jax.numpy as _jnp
-        md = _jnp.bfloat16 if mxu_dtype == "bfloat16" else np.float32
-        self.mxu_dtype = md
-        self.w1_re = np.asarray(
-            _pad2(w1.real.astype(np.float32), self.n1p, self.n1p)).astype(md)
-        self.w1_im = np.asarray(
-            _pad2(w1.imag.astype(np.float32), self.n1p, self.n1p)).astype(md)
-        self.w2_re = np.asarray(
-            _pad2(w2.real.astype(np.float32), self.n2p, self.n2p)).astype(md)
-        self.w2_im = np.asarray(
-            _pad2(w2.imag.astype(np.float32), self.n2p, self.n2p)).astype(md)
-        self.tw_re = _pad2(tw.real.astype(np.float32), self.n1p, self.n2p)
-        self.tw_im = _pad2(tw.imag.astype(np.float32), self.n1p, self.n2p)
+        halo = (batch - 1) * step
+        divs = sorted({d for d in range(8, self.n1 + 1, 8)
+                       if self.n1 % d == 0} | {self.n1})
+        # largest k1 row tile whose liveness fits VMEM (bigger tiles = fewer,
+        # better-shaped matmuls)
+        fitting = [d for d in divs if _vmem_estimate(
+            self.n1, self.n2, d, halo, mode) <= _VMEM_CEILING]
+        self.viable = bool(fitting)
+        if not self.viable:
+            return
+        self.k1t = fitting[-1]
+
+        n1, n2 = self.n1, self.n2
+        k1 = np.arange(n1, dtype=np.float64)
+        j = np.arange(n2, dtype=np.float64)
+        k2 = np.arange(n2, dtype=np.float64)
+        w1_64 = np.exp(-2j * np.pi * np.mod(np.outer(k1, k1), n1) / n1)
+        # stage-2 matrix pre-transposed to (j, k2) for direct contraction
+        w2t_64 = np.exp(-2j * np.pi * np.mod(np.outer(j, k2), n2) / n2)
+        tw_64 = np.exp(-2j * np.pi * np.mod(np.outer(k1, j), n) / n)
+        self.tw_re = tw_64.real.astype(np.float32)
+        self.tw_im = tw_64.imag.astype(np.float32)
+        import ml_dtypes
+        bf16 = np.dtype(ml_dtypes.bfloat16)
+        dummy = np.zeros((1, 1), bf16)
+        if mode == "f32":
+            self.w1r = w1_64.real.astype(np.float32)
+            self.w1i = w1_64.imag.astype(np.float32)
+            self.w2r = w2t_64.real.astype(np.float32)
+            self.w2i = w2t_64.imag.astype(np.float32)
+            self.w1r_lo = self.w1i_lo = dummy
+            self.w2r_lo = self.w2i_lo = dummy
+        else:
+            self.w1r, self.w1r_lo = _bf16_split_np(w1_64.real)
+            self.w1i, self.w1i_lo = _bf16_split_np(w1_64.imag)
+            self.w2r, self.w2r_lo = _bf16_split_np(w2t_64.real)
+            self.w2i, self.w2i_lo = _bf16_split_np(w2t_64.imag)
+            if mode != "bf16x3":
+                self.w1r_lo = self.w1i_lo = dummy
+                self.w2r_lo = self.w2i_lo = dummy
 
 
-def _stage1_kernel(zre, zim, ccre, ccim, w1re, w1im, twre, twim,
-                   gre_out, gim_out, *, tile_m: int, n1p: int):
-    import jax.experimental.pallas as pl
-
-    dot = functools.partial(jax.lax.dot_general,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    ztr = zre[0, :, :]                                # (n1p, tile_m)
-    zti = zim[0, :, :]
-    ctr = ccre[:, :]
-    cti = ccim[:, :]
-    # pdt = z * cc  (cc already conjugated on host)
-    md = w1re.dtype
-    pre = (ztr * ctr - zti * cti).astype(md)
-    pim = (ztr * cti + zti * ctr).astype(md)
-    # f1 = W1 @ pdt
-    f1re = dot(w1re[:, :], pre) - dot(w1im[:, :], pim)
-    f1im = dot(w1re[:, :], pim) + dot(w1im[:, :], pre)
-    # g = f1 * tw
-    ttr = twre[:, :]
-    tti = twim[:, :]
-    gre_out[0, :, :] = f1re * ttr - f1im * tti
-    gim_out[0, :, :] = f1re * tti + f1im * ttr
-
-
-def _stage2_kernel(gre, gim, w2re, w2im, out_max, out_idx,
-                   run_max, run_idx, *, tile_k: int, n2p: int):
-    import jax.experimental.pallas as pl
-
-    b = pl.program_id(0)
-    ki = pl.program_id(1)
-    nk = pl.num_programs(1)
-    dot_t = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (1,)), ((), ())),   # contract minor dims
-        preferred_element_type=jnp.float32)
-    md = w2re.dtype
-    gr = gre[0, :, :].astype(md)                      # (tile_k, n2p)
-    gi = gim[0, :, :].astype(md)
-    # h[k1, k2] = sum_m g[k1, m] * w2[k2, m]
-    hre = dot_t(gr, w2re[:, :]) - dot_t(gi, w2im[:, :])
-    him = dot_t(gr, w2im[:, :]) + dot_t(gi, w2re[:, :])
-    mag = hre * hre + him * him                       # (tile_k, n2p)
-    tmax = jnp.max(mag)
-    # first-occurrence flat index within this tile (k1-major)
-    rows = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-    flat = (ki * tile_k + rows) * n2p + cols
-    tidx = jnp.min(jnp.where(mag >= tmax, flat, jnp.int32(2147483647)))
-
-    @pl.when(ki == 0)
-    def _init():
-        run_max[0, 0] = tmax
-        run_idx[0, 0] = tidx
-
-    @pl.when(jnp.logical_and(ki > 0, tmax > run_max[0, 0]))
-    def _update():
-        run_max[0, 0] = tmax
-        run_idx[0, 0] = tidx
-
-    @pl.when(ki == nk - 1)
-    def _emit():
-        out_max[b, 0] = run_max[0, 0]
-        out_idx[b, 0] = run_idx[0, 0]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n1", "n2", "n1p", "n2p", "zcols", "batch", "tile_m",
-                     "tile_k", "interpret"))
-def _fused_chunk(window_re, window_im, consts, *, n1, n2, n1p, n2p, zcols,
-                 batch, tile_m, tile_k, interpret=False):
-    """One chunk: window = rx[s0 : s0 + (n1-1)*n2 + zcols] planes; returns
-    (maxval (B,), true_bin (B,) uint32)."""
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "k1t", "step",
+                                             "batch", "mode", "interpret"))
+def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
+                     w1r_lo, w1i_lo, w2r, w2i, w2r_lo, w2i_lo, *, n1, n2,
+                     k1t, step, batch, mode, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # per-shift window matrices: zmat3[b, r, :] = window[b + r*n2 : +n2p]
-    # (built in XLA — float32 planes are half the size of the complex
-    # gathered-product batch the unfused path materializes, and the cc
-    # multiply + twiddle + stage-2 spectrum never touch HBM at all)
-    bb, rr = jnp.meshgrid(jnp.arange(batch), jnp.arange(n1) * n2,
-                          indexing="ij")
-    starts = (bb + rr).reshape(-1)
-    zre = jax.vmap(lambda st: jax.lax.dynamic_slice(
-        window_re, (st,), (n2p,)))(starts).reshape(batch, n1, n2p)
-    zim = jax.vmap(lambda st: jax.lax.dynamic_slice(
-        window_im, (st,), (n2p,)))(starts).reshape(batch, n1, n2p)
-    zre = jnp.pad(zre, ((0, 0), (0, n1p - n1), (0, 0)))
-    zim = jnp.pad(zim, ((0, 0), (0, n1p - n1), (0, 0)))
-
-    z_spec = pl.BlockSpec((1, n1p, tile_m), lambda mi, b: (b, 0, mi))
-    tile_spec = pl.BlockSpec((n1p, tile_m), lambda mi, b: (0, mi))
-    const_spec1 = pl.BlockSpec((n1p, n1p), lambda mi, b: (0, 0))
-    grid1 = (n2p // tile_m, batch)        # b innermost: cc/tw tiles cached
-    g_shape = jax.ShapeDtypeStruct((batch, n1p, n2p), jnp.float32)
-    gre, gim = pl.pallas_call(
-        functools.partial(_stage1_kernel, tile_m=tile_m, n1p=n1p),
-        grid=grid1,
-        in_specs=[
-            z_spec, z_spec,                           # per-shift z tiles
-            tile_spec, tile_spec,                     # cc tiles
-            const_spec1, const_spec1,                 # w1 (resident block)
-            tile_spec, tile_spec,                     # tw tiles
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n1p, tile_m), lambda mi, b: (b, 0, mi)),
-            pl.BlockSpec((1, n1p, tile_m), lambda mi, b: (b, 0, mi)),
-        ],
-        out_shape=[g_shape, g_shape],
+    nchunks, _, wcols = z_re.shape
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)   # whole array, resident
+    z_spec = pl.BlockSpec((1, n1, wcols), lambda ci, b: (ci, 0, 0),
+                          memory_space=pltpu.VMEM)
+    flops = 8 * nchunks * batch * (n1 * n1 * n2 + n1 * n2 * n2) \
+        * (3 if mode == "bf16x3" else 1)
+    return pl.pallas_call(
+        functools.partial(_caf_kernel, n1=n1, n2=n2, k1t=k1t, step=step,
+                          mode=mode),
+        grid=(nchunks, batch),
+        in_specs=[z_spec, z_spec] + [const] * 12,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nchunks, batch), jnp.float32),
+                   jax.ShapeDtypeStruct((nchunks, batch), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * 4 * (z_re.size + cc_re.size + tw_re.size),
+            transcendentals=0),
         interpret=interpret,
-    )(zre, zim, consts["cc_re"], consts["cc_im"],
-      consts["w1_re"], consts["w1_im"], consts["tw_re"], consts["tw_im"])
-
-    const_spec2 = pl.BlockSpec((n2p, n2p), lambda b, ki: (0, 0))
-    grid2 = (batch, n1p // tile_k)
-    out_max, out_idx = pl.pallas_call(
-        functools.partial(_stage2_kernel, tile_k=tile_k, n2p=n2p),
-        grid=grid2,
-        in_specs=[
-            pl.BlockSpec((1, tile_k, n2p), lambda b, ki: (b, ki, 0)),
-            pl.BlockSpec((1, tile_k, n2p), lambda b, ki: (b, ki, 0)),
-            const_spec2, const_spec2,                 # w2 (resident block)
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # full (batch, 1) array
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, 1), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(gre, gim, consts["w2_re"], consts["w2_im"])
-
-    flat = out_idx[:, 0]
-    k1 = flat // n2p
-    k2 = flat % n2p
-    true_bin = (k1 + n1 * k2).astype(jnp.uint32)
-    return out_max[:, 0], true_bin
+    )(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo, w1i_lo,
+      w2r, w2i, w2r_lo, w2i_lo)
 
 
-def make_consts(plan: FusedXcorrPlan, cutout_conj) -> dict:
-    """Constant dict for _fused_chunk. ``cutout_conj`` is the conjugated
-    length-n template. Host numpy templates are split to re/im planes on the
-    host (no complex host->device transfer — the axon transport lacks it)."""
-    if isinstance(cutout_conj, np.ndarray):
-        cc_re = np.ascontiguousarray(
-            cutout_conj.real.astype(np.float32)).reshape(plan.n1, plan.n2)
-        cc_im = np.ascontiguousarray(
-            cutout_conj.imag.astype(np.float32)).reshape(plan.n1, plan.n2)
-        cc_re = _pad2(cc_re, plan.n1p, plan.n2p)
-        cc_im = _pad2(cc_im, plan.n1p, plan.n2p)
-    else:
-        cc = jnp.asarray(cutout_conj)
-        cc_re = jnp.reshape(cc.real.astype(jnp.float32),
-                            (plan.n1, plan.n2))
-        cc_im = jnp.reshape(cc.imag.astype(jnp.float32),
-                            (plan.n1, plan.n2))
-        cc_re = jnp.pad(cc_re, ((0, plan.n1p - plan.n1),
-                                (0, plan.n2p - plan.n2)))
-        cc_im = jnp.pad(cc_im, ((0, plan.n1p - plan.n1),
-                                (0, plan.n2p - plan.n2)))
-    return {
-        "cc_re": cc_re, "cc_im": cc_im,
-        "w1_re": plan.w1_re, "w1_im": plan.w1_im,
-        "tw_re": plan.tw_re, "tw_im": plan.tw_im,
-        "w2_re": plan.w2_re, "w2_im": plan.w2_im,
-    }
+_PLAN_CACHE: dict = {}
+
+
+def get_fused_plan(n: int, batch: int = 16, step: int = 1,
+                   mode: str = "bf16") -> FusedXcorrPlan:
+    key = (n, batch, step, mode)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = FusedXcorrPlan(n, batch, step, mode)
+    return _PLAN_CACHE[key]
+
+
+def fused_freq_scan_peak(cutout_conj, rx_padded, start0, nchunks: int,
+                         plan: FusedXcorrPlan, interpret: bool = False):
+    """Raw peak search: (peak |spectrum|^2, true bin) for every shift
+    ``start0 + step*i`` across ``nchunks`` chunks of ``plan.batch`` shifts.
+    ``rx_padded`` must cover [start0, start0 + (nchunks-1)*batch*step + n +
+    halo). QF^2 normalization is the caller's."""
+    n1, n2, batch, step = plan.n1, plan.n2, plan.batch, plan.step
+    halo = (batch - 1) * step
+    cc = jnp.asarray(cutout_conj)
+    cc_re = cc.real.astype(jnp.float32).reshape(n1, n2)
+    cc_im = cc.imag.astype(jnp.float32).reshape(n1, n2)
+    rre = jnp.real(rx_padded).astype(jnp.float32)
+    rim = jnp.imag(rx_padded).astype(jnp.float32)
+
+    # overlap-rows window views: chunk ci, row r = rx[s0 + ci*B*step + r*n2 :
+    # + n2+halo]. ONE dynamic slice hoists the whole sweep span; every chunk
+    # tile is then a stack of STATIC slices, which XLA fuses into a single
+    # copy (per-row dynamic slices measured ~25 ms/sweep of gather time on
+    # v5e — they were the bottleneck of the first fused attempt). Columns are
+    # padded to a lane multiple so the in-kernel dynamic rotate stays exact.
+    wcols = -(-(n2 + halo) // 128) * 128
+    span = (nchunks - 1) * batch * step + (n1 - 1) * n2 + n2 + halo
+
+    def build_all(plane):
+        w = jax.lax.dynamic_slice(plane, (jnp.asarray(start0),), (span,))
+        chunks = []
+        for ci in range(nchunks):
+            base = ci * batch * step
+            rows = [jax.lax.slice(w, (base + r * n2,),
+                                  (base + r * n2 + n2 + halo,))
+                    for r in range(n1)]
+            chunks.append(jnp.stack(rows))
+        return jnp.pad(jnp.stack(chunks),
+                       ((0, 0), (0, 0), (0, wcols - n2 - halo)))
+
+    z_re = build_all(rre)
+    z_im = build_all(rim)
+
+    maxv, flat = _caf_peak_pallas(
+        z_re, z_im, cc_re, cc_im,
+        jnp.asarray(plan.tw_re), jnp.asarray(plan.tw_im),
+        jnp.asarray(plan.w1r), jnp.asarray(plan.w1i),
+        jnp.asarray(plan.w1r_lo), jnp.asarray(plan.w1i_lo),
+        jnp.asarray(plan.w2r), jnp.asarray(plan.w2i),
+        jnp.asarray(plan.w2r_lo), jnp.asarray(plan.w2i_lo),
+        n1=n1, n2=n2, k1t=plan.k1t, step=step, batch=batch, mode=plan.mode,
+        interpret=interpret)
+    # permuted position (k1-major) -> true bin k1 + n1*k2
+    k1 = flat // n2
+    k2 = flat % n2
+    return maxv, k1 + n1 * k2
 
 
 def fused_freq_scan_xcorr(cutout, rx, shifts0: int, num_shifts: int,
-                          batch: int = 16, tile_m: int = 128,
-                          tile_k: int = 256, mxu_dtype=np.float32,
+                          batch: int = 128, step: int = 1, mode: str = "bf16",
                           interpret: bool = False):
-    """QF^2 + peak bin for consecutive shifts [shifts0, shifts0+num_shifts)
-    via the fused Pallas pipeline. Returns (qf2 (num_shifts,), bins uint32).
-
-    Semantics match fast_xcorr(freqsearch=True, output_caf=False,
-    abs_result=True) with unit-step shifts.
-    """
+    """QF^2 + peak bin for shifts ``shifts0 + step*i``, i in [0, num_shifts)
+    via the single-kernel pipeline (standalone wrapper; fast_xcorr routes
+    here automatically when viable). Semantics match
+    fast_xcorr(freqsearch=True, output_caf=False, abs_result=True)."""
     n = int(cutout.shape[-1])
-    plan = FusedXcorrPlan(n, batch, tile_m, tile_k, mxu_dtype)
+    plan = get_fused_plan(n, batch, step, mode)
     if not plan.viable:
-        raise ValueError(f"no viable two-factor plan for n={n}")
+        raise ValueError(f"no viable fused plan for n={n}")
     nchunks = -(-num_shifts // batch)
-    wlen = plan.batch + (plan.n1 - 1) * plan.n2 + plan.n2p
-    need = shifts0 + (nchunks - 1) * batch + wlen
-    # host numpy inputs: conjugate/pad/split on host (no complex transfers)
-    if isinstance(rx, np.ndarray):
-        rxp = np.pad(rx, (0, max(0, need - int(rx.shape[-1]))))
-        rre = jnp.asarray(np.ascontiguousarray(rxp.real.astype(np.float32)))
-        rim = jnp.asarray(np.ascontiguousarray(rxp.imag.astype(np.float32)))
-    else:
-        rxp = jnp.pad(rx, (0, max(0, need - int(rx.shape[-1]))))
-        rre = rxp.real.astype(jnp.float32)
-        rim = rxp.imag.astype(jnp.float32)
-    cc_host = np.conj(cutout) if isinstance(cutout, np.ndarray) \
-        else jnp.conj(cutout)
-    consts = make_consts(plan, cc_host)
-    cutout_norm_sq = jnp.sum(
-        jnp.asarray(consts["cc_re"]) ** 2
-        + jnp.asarray(consts["cc_im"]) ** 2).astype(jnp.float32)
-    power = jnp.concatenate([
-        jnp.zeros(1, jnp.float32),
-        jnp.cumsum(rre * rre + rim * rim)])
+    halo = (batch - 1) * step
+    need = shifts0 + (nchunks - 1) * batch * step + n + halo
+    rx = jnp.asarray(rx)
+    rxp = jnp.pad(rx, (0, max(0, need - int(rx.shape[-1]))))
+    cc = jnp.conj(jnp.asarray(cutout))
 
-    def chunk(s0):
-        wre = jax.lax.dynamic_slice(rre, (s0,), (wlen,))
-        wim = jax.lax.dynamic_slice(rim, (s0,), (wlen,))
-        return _fused_chunk(wre, wim, consts, n1=plan.n1, n2=plan.n2,
-                            n1p=plan.n1p, n2p=plan.n2p, zcols=plan.zcols,
-                            batch=batch, tile_m=tile_m, tile_k=tile_k,
-                            interpret=interpret)
-
-    starts = shifts0 + jnp.arange(nchunks) * batch
-    maxv, bins = jax.lax.map(chunk, starts)
+    maxv, bins = fused_freq_scan_peak(cc, rxp, shifts0, nchunks, plan,
+                                      interpret=interpret)
     maxv = maxv.reshape(-1)[:num_shifts]
     bins = bins.reshape(-1)[:num_shifts]
-    shifts = shifts0 + jnp.arange(num_shifts)
+
+    rre = rxp.real.astype(jnp.float32)
+    rim = rxp.imag.astype(jnp.float32)
+    power = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                             jnp.cumsum(rre * rre + rim * rim)])
+    shifts = shifts0 + jnp.arange(num_shifts) * step
     rx_norm_sq = power[shifts + n] - power[shifts]
+    cutout_norm_sq = jnp.sum(cc.real ** 2 + cc.imag ** 2).astype(jnp.float32)
     qf2 = maxv / cutout_norm_sq / rx_norm_sq
-    return qf2, bins
+    return qf2, bins.astype(jnp.uint32)

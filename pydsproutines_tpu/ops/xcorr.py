@@ -145,6 +145,31 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         power_cumsum = jnp.concatenate([
             jnp.zeros(1, rdt), jnp.cumsum(_abs_sq(rx).astype(rdt))])
 
+    # single-kernel Pallas CAF peak search: the whole modulate -> two-stage
+    # DFT -> |.|^2 -> argmax pipeline stays in VMEM; only (max, bin) scalars
+    # come back (ops/pallas/fused_xcorr.py). Engages for uniform-step shift
+    # sweeps on two-factor sizes at complex64.
+    if (freqsearch and not output_caf and abs_result and step is not None
+            and cutout.dtype == jnp.complex64 and use_cumsum):
+        from pydsproutines_tpu.ops.pallas.fused_xcorr import (
+            fused_freq_scan_peak, get_fused_plan)
+        plan = get_fused_plan(n, batch_size, step, fft_mode)
+        if plan.viable:
+            k = shifts.shape[0]
+            nchunks = -(-k // batch_size)
+            halo = (batch_size - 1) * step
+            # padded tail shifts of the last chunk may run past the caller's
+            # validated range; cover their windows explicitly
+            rxp = jnp.pad(rx, (0, 2 * batch_size * step + halo))
+            maxv, bins = fused_freq_scan_peak(cutout_conj, rxp, shifts[0],
+                                              nchunks, plan,
+                                              interpret=interpret)
+            maxv = maxv.reshape(-1)[:k]
+            bins = bins.reshape(-1)[:k]
+            rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
+            return (maxv / cutout_norm_sq / rx_norm_sq,
+                    bins.astype(jnp.uint32))
+
     def chunk_fn(chunk):
         if use_cumsum:
             rx_norm_sq = power_cumsum[chunk + n] - power_cumsum[chunk]

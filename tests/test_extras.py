@@ -333,7 +333,7 @@ def test_fused_freq_scan_xcorr_interpret(key):
     cut = (rx[33:33 + n]
            * np.exp(-2j * np.pi * 0.0071 * np.arange(n))).astype(np.complex64)
     qf2, bins = fused_freq_scan_xcorr(cut, rx, 20, nsh, batch=8,
-                                      tile_m=128, tile_k=128, interpret=True)
+                                      mode="f32", interpret=True)
     # precision="f32" pins fast_xcorr's MXU stages to full f32 so the two
     # pipelines agree to float tolerance (default "bf16" is peak-search grade)
     ref_qf2, ref_bins = fast_xcorr(jnp.asarray(cut), jnp.asarray(rx),
