@@ -76,6 +76,8 @@ from pydsproutines_tpu.ops.xcorr import (
     sigma_dfo,
     theoretical_multi_peak,
     argmax2d,
+    compute_fast_xcorr_complexity,
+    compute_group_xcorr_czt_complexity,
 )
 
 __all__ = [

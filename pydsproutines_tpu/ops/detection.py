@@ -165,9 +165,48 @@ class BurstDetector:
         self.threshold = (lo + hi) / 2
         return threshold_edges(x, self.threshold, capacity, min_length, max_length)
 
+    def detect_regular_sections(self, section_size_range,
+                                ratio: float = 1.5):
+        """Estimate the period of a regularly bursting signal (reference
+        detectRegularSections, filterRoutines.py:938).
+
+        For each candidate period P, the filtered power is folded into rows
+        of length P and column-averaged; the correct period phase-aligns the
+        bursts, so its P-point mean profile splits into the widest-separated
+        2-means clusters. Returns (metric (S, 2) of [codebook gap,
+        distortion], codebooks (S, 2)); pick the P with the largest gap.
+        Candidate periods imply different fold shapes, so the scan runs one
+        jitted fold+cluster per size (coarse-then-fine scans keep S small,
+        as the reference docstring prescribes).
+        """
+        self._require_medfilt()
+        sizes = np.asarray(section_size_range).astype(int)
+        metric = np.zeros((sizes.size, 2))
+        codebooks = np.zeros((sizes.size, 2))
+        x = self.medfiltered
+        n = int(x.shape[-1])
+        for i, p in enumerate(sizes):
+            prof = _fold_profile(x, int(p), n - n % int(p))
+            hi_seed = jnp.max(prof)
+            below = jnp.where(prof < hi_seed / ratio, prof, jnp.nan)
+            lo_seed = jnp.nanmin(below)
+            lo_seed = jnp.where(jnp.isnan(lo_seed), jnp.min(prof), lo_seed)
+            lo, hi = kmeans2(prof, lo_seed, hi_seed)
+            dist = jnp.mean(jnp.minimum(jnp.abs(prof - lo),
+                                        jnp.abs(prof - hi)))
+            codebooks[i] = (float(lo), float(hi))
+            metric[i] = (float(hi - lo), float(dist))
+        return metric, codebooks
+
     def _require_medfilt(self):
         if self.medfiltered is None:
             raise ValueError("Run medfilt() first.")
+
+
+@functools.partial(jax.jit, static_argnames=("p", "trunc"))
+def _fold_profile(x: jnp.ndarray, p: int, trunc: int) -> jnp.ndarray:
+    """Column means of x[:trunc] folded into rows of length p."""
+    return jnp.mean(jnp.abs(x[:trunc]).reshape(-1, p), axis=0)
 
 
 def energy_detection(amp_sq: jnp.ndarray, medfiltlen: int,

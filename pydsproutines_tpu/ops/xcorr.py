@@ -488,3 +488,20 @@ def argmax2d(m: jnp.ndarray):
     xcorrRoutines.py:815)."""
     idx = jnp.argmax(m)
     return jnp.unravel_index(idx, m.shape)
+
+
+def compute_fast_xcorr_complexity(n, k=1):
+    """Operation-count model of the freq-scanning sliding xcorr — K shifts,
+    one length-N FFT each (reference computeFastXcorrComplexity,
+    xcorrRoutines.py:2084)."""
+    return k * n * np.log2(n)
+
+
+def compute_group_xcorr_czt_complexity(m, group_len, czt_points, k=1):
+    """Operation-count model of the CZT group xcorr — K shifts x m groups,
+    each a Bluestein CZT costing two FFTs of the next fast length covering
+    group_len + czt_points (reference computeGroupXcorrCZTcomplexity,
+    xcorrRoutines.py:2099)."""
+    from pydsproutines_tpu.utils.fftlen import next_fast_len
+    lc = next_fast_len(int(group_len + czt_points))
+    return k * m * 2 * lc * np.log2(lc)

@@ -99,3 +99,31 @@ def test_energy_detection(key):
     assert abs(float(mean_noise) - 1.0) < 0.3
     assert int(edges.count) >= 1
     assert abs(int(edges.starts[0]) - 5000) < 100
+
+
+def test_detect_regular_sections_finds_period(rng):
+    # bursty signal: 300-sample bursts every 1000 samples
+    period, burst = 1000, 300
+    n = 20 * period
+    x = rng.normal(0, 0.1, n).astype(np.float32)
+    for s in range(0, n, period):
+        x[s:s + burst] += rng.normal(0, 3.0, burst).astype(np.float32)
+    bd = BurstDetector(medfiltlen=31)
+    bd.medfilt(jnp.asarray(x))
+    sizes = np.array([700, 850, 1000, 1150, 1300])
+    metric, codebooks = bd.detect_regular_sections(sizes)
+    assert metric.shape == (5, 2) and codebooks.shape == (5, 2)
+    # the true period has the widest cluster separation
+    assert sizes[np.argmax(metric[:, 0])] == period
+    assert np.all(codebooks[:, 1] >= codebooks[:, 0])
+
+
+def test_xcorr_complexity_estimators():
+    from pydsproutines_tpu.ops import (compute_fast_xcorr_complexity,
+                                       compute_group_xcorr_czt_complexity)
+    # K shifts scale linearly; larger FFTs cost more
+    assert compute_fast_xcorr_complexity(1024, 4) == 4 * compute_fast_xcorr_complexity(1024, 1)
+    assert compute_fast_xcorr_complexity(2048) > compute_fast_xcorr_complexity(1024)
+    c1 = compute_group_xcorr_czt_complexity(3, 128, 100, k=2)
+    c2 = compute_group_xcorr_czt_complexity(3, 128, 100, k=1)
+    assert c1 == 2 * c2 and c2 > 0
