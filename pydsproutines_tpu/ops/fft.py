@@ -81,6 +81,28 @@ def _dft_matrix(n: int, dtype=np.complex64) -> np.ndarray:
     return np.exp(-1j * phase).astype(dtype)
 
 
+# On-device generation for big plans. Host-numpy stage matrices embed in the
+# compiled program as constants, which breaks the remote-compile transport
+# above ~10^7-point plans (HTTP 413 at n=1e7: ~240 MB of constants). Building
+# them in-trace costs ~sum(ni^2 + n) transcendentals per call (sub-ms) and
+# keeps the program tiny. Phase via exact int32 products (max factor 8192 ->
+# products < 2^31) matches the host float64-mod construction to f32 rounding.
+
+def _dft_matrix_dev(n: int) -> jnp.ndarray:
+    k = jnp.arange(n, dtype=jnp.int32)
+    m = (k[:, None] * k[None, :]) % n
+    ph = m.astype(jnp.float32) * np.float32(-2.0 * np.pi / n)
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def _twiddle_dev(n1: int, rest: int, m: int) -> jnp.ndarray:
+    k1 = jnp.arange(n1, dtype=jnp.int32)
+    j = jnp.arange(rest, dtype=jnp.int32)
+    mm = (k1[:, None] * j[None, :]) % m
+    ph = mm.astype(jnp.float32) * np.float32(-2.0 * np.pi / m)
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
 class FourStepFFT:
     """Plan for an exact N-point DFT via matmul stages (Cooley-Tukey with
     large mixed radices: N = n1*n2*...*nk, each stage a batched DFT-matrix
@@ -109,6 +131,19 @@ class FourStepFFT:
             self.factors = None
             return
         self.factors = factors
+        # embedded host constants vs on-device generation: constants avoid
+        # per-call regeneration, but above ~48 MB they break the remote
+        # compile transport (and bloat every program). complex128 plans are
+        # the CPU parity tier and always embed.
+        const_bytes = self.dtype.itemsize * (
+            sum(f * f for f in factors)
+            + sum(self.n // int(np.prod(factors[:s]))
+                  for s in range(len(factors) - 1)))
+        self.device_gen = (const_bytes > 48 * 1024 * 1024
+                           and self.dtype == np.dtype(np.complex64))
+        if self.device_gen:
+            self.stage_w = self.stage_tw = None
+            return
         # per-stage DFT matrices and twiddles: at stage s with current
         # transform length m = prod(factors[s:]) split as n1 x rest,
         # TW[k1, j] = exp(-2j*pi*k1*j/m), j in [0, rest)
@@ -125,17 +160,32 @@ class FourStepFFT:
             m = rest
         self.stage_w.append(_dft_matrix(factors[-1], self.dtype))
 
+    def _mats(self):
+        """Stage matrices for use inside a trace: host constants, or
+        generated on device for big plans."""
+        if not self.device_gen:
+            return self.stage_w, self.stage_tw
+        w, tw = [], []
+        m = self.n
+        for n1 in self.factors[:-1]:
+            rest = m // n1
+            w.append(_dft_matrix_dev(n1))
+            tw.append(_twiddle_dev(n1, rest, m))
+            m = rest
+        w.append(_dft_matrix_dev(self.factors[-1]))
+        return w, tw
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if not self.viable:
             return jnp.fft.fft(x, axis=-1)
         if not hasattr(self, "_fn"):
             factors = tuple(self.factors)
-            w, tw = self.stage_w, self.stage_tw
-            # closure over host numpy stage matrices: they embed as program
+            # closure over host numpy stage matrices embeds them as program
             # constants (no per-call transfer; complex device constants can't
-            # round-trip on the axon transport anyway)
+            # round-trip on the axon transport anyway); big plans instead
+            # generate the matrices in-trace (see _mats)
             self._fn = jax.jit(
-                lambda xx: _matmul_fft_stage(xx, factors, w, tw, 0))
+                lambda xx: _matmul_fft_stage(xx, factors, *self._mats(), 0))
         return self._fn(x)
 
     # -- permuted-output path: skips every inter-stage output transpose.
@@ -149,9 +199,9 @@ class FourStepFFT:
             return jnp.fft.fft(x, axis=-1)
         if not hasattr(self, "_fn_perm"):
             factors = tuple(self.factors)
-            w, tw = self.stage_w, self.stage_tw
             self._fn_perm = jax.jit(
-                lambda xx: _matmul_fft_stage_permuted(xx, factors, w, tw, 0))
+                lambda xx: _matmul_fft_stage_permuted(
+                    xx, factors, *self._mats(), 0))
         return self._fn_perm(x)
 
     @property
@@ -168,8 +218,8 @@ class FourStepFFT:
     def peak_viable(self, mode: str = "bf16") -> bool:
         """True when call_peak can run: a two-factor plan whose stage-2
         matrix + row tiles fit the VMEM budget of the fused kernel."""
-        if not self.viable or len(self.factors) != 2:
-            return False
+        if not self.viable or len(self.factors) != 2 or self.device_gen:
+            return False  # the peak kernel needs host-side stage matrices
         from pydsproutines_tpu.ops.pallas.fft_peak import pick_row_tile
         n1, n2 = self.factors
         return pick_row_tile(n1, n2, n2, mode) is not None

@@ -376,7 +376,12 @@ def fine_freq_time_search(x_aligned: jnp.ndarray, y_aligned: jnp.ndarray,
             freqfound = fine_freqs[i]
             best_shift = shifts_mat[i]
         fine_freq_found = freqfound
-        x_aligned = x_aligned * best_shift
+        # Align x to y's tone: y*conj(x) ~ e^{j*2*pi*fhat*t}, so x needs
+        # e^{+j*2*pi*fhat*t} = conj(best_shift). (Deviation from the literal
+        # reference, which multiplies by best_shift itself — xcorrRoutines.py
+        # :637 — doubling the tone mismatch and biasing the subsequent
+        # sub-sample delay; verified against scenes with known Doppler+tau.)
+        x_aligned = x_aligned * jnp.conj(best_shift)
 
     if steeringvec is None:
         steeringvec = make_time_scan_steervec(td_scan_range, fs, n, dtype=cdt)

@@ -10,7 +10,7 @@ from pydsproutines_tpu.utils.dtypes import (
 from pydsproutines_tpu.utils.fftlen import next_fast_len, prev_fast_len, prime_factors
 from pydsproutines_tpu.utils.freq import make_freq, freqshift_signal, tone
 from pydsproutines_tpu.utils.verify import compare_values
-from pydsproutines_tpu.utils.timing import Timer
+from pydsproutines_tpu.utils.timing import Timer, trace, annotate
 
 __all__ = [
     "COMPLEX_DTYPE",
@@ -25,4 +25,6 @@ __all__ = [
     "tone",
     "compare_values",
     "Timer",
+    "trace",
+    "annotate",
 ]

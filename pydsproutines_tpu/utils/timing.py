@@ -1,15 +1,42 @@
-"""Wall-clock timing with event laps (reference /root/reference/timingRoutines.py:12).
+"""Wall-clock timing with event laps (reference /root/reference/timingRoutines.py:12)
+and structured device tracing.
 
 On an async backend like TPU, timing a jax computation requires blocking on the
 result; ``Timer.evt``/``end`` accept an optional array (or pytree) to
 ``block_until_ready`` before taking the timestamp.
+
+The reference's profiling story is manual (Timer laps + CUDA events + nvprof
+comments, SURVEY §5); here the structured equivalent is ``trace`` /
+``annotate``, thin wrappers over jax.profiler that emit xprof-compatible
+traces viewable in TensorBoard/xprof.
 """
 
 from __future__ import annotations
 
+import contextlib
 import time
 
 import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device+host profiler trace into ``logdir`` (xprof format).
+
+    Usage::
+
+        with trace("/tmp/tr"):
+            out = fast_xcorr(...)
+            jax.block_until_ready(out)
+    """
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def annotate(name: str):
+    """Named span that shows up on the host timeline inside a ``trace``
+    capture (``with annotate("xcorr-chunk"): ...``)."""
+    return jax.profiler.TraceAnnotation(name)
 
 
 class Timer:
