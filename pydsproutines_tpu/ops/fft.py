@@ -118,13 +118,23 @@ class FourStepFFT:
         self.n = int(n)
         self.dtype = np.dtype(dtype)
         if factors is None:
-            # Two balanced factors measured fastest on v5e: the kernel is
-            # HBM-bound, so fewer passes beat the (large) matmul-FLOP savings
-            # of deeper factorizations (3-stage measured 1.3x slower end to
-            # end despite 6x fewer FLOPs). factorize_for_mxu remains available
-            # for flop-bound contexts.
+            # Up to ~2M points, two balanced factors measured fastest on v5e:
+            # the kernel is HBM-bound there, so fewer passes beat the
+            # matmul-FLOP savings of deeper factorizations (3-stage measured
+            # 1.3x slower at n=1e6 despite 6x fewer FLOPs). Past that the
+            # FLOP term (~n * sum(factors)) dominates — a 10M-point two-factor
+            # plan spends 6325 MACs/sample vs ~650 for three stages — so big
+            # sizes go multi-stage.
             two = best_two_factor(self.n, max_factor)
-            factors = list(two) if two is not None else None
+            if two is not None and sum(two) <= 3000:
+                factors = list(two)
+            else:
+                multi = factorize_for_mxu(self.n, max_factor=1024)
+                if multi is not None and (two is None or
+                                          sum(multi) < sum(two)):
+                    factors = multi
+                else:
+                    factors = list(two) if two is not None else None
         self.viable = factors is not None and self.n >= 4096 \
             and len(factors) >= 2
         if not self.viable:
