@@ -188,6 +188,10 @@ class FusedXcorrPlan:
             return
         self.n1, self.n2 = factors
         halo = (batch - 1) * step
+        if halo > self.n2:
+            # the two-reshape window build needs the halo within one row
+            self.viable = False
+            return
         divs = sorted({d for d in range(8, self.n1 + 1, 8)
                        if self.n1 % d == 0} | {self.n1})
         # largest k1 row tile whose liveness fits VMEM (bigger tiles = fewer,
@@ -290,24 +294,29 @@ def fused_freq_scan_peak(cutout_conj, rx_padded, start0, nchunks: int,
 
     # overlap-rows window views: chunk ci, row r = rx[s0 + ci*B*step + r*n2 :
     # + n2+halo]. ONE dynamic slice hoists the whole sweep span; every chunk
-    # tile is then a stack of STATIC slices, which XLA fuses into a single
-    # copy (per-row dynamic slices measured ~25 ms/sweep of gather time on
-    # v5e — they were the bottleneck of the first fused attempt). Columns are
-    # padded to a lane multiple so the in-kernel dynamic rotate stays exact.
+    # tile is then just TWO static-slice reshapes concatenated — cols [0, n2)
+    # are reshape(W[base : base+n]) exactly, and the halo cols are the next
+    # row's head, reshape(W[base+n2 : base+n2+n])[:, :halo]. (Per-row dynamic
+    # slices measured ~25 ms/sweep of gather time on v5e — the bottleneck of
+    # the first fused attempt; a 1000-piece static-slice stack still cost a
+    # fat concat.) Columns are padded to a lane multiple so the in-kernel
+    # dynamic rotate stays exact. Requires halo <= n2 (the plan guarantees
+    # batch*step <= n2 + 1).
     wcols = -(-(n2 + halo) // 128) * 128
-    span = (nchunks - 1) * batch * step + (n1 - 1) * n2 + n2 + halo
+    span = (nchunks - 1) * batch * step + n1 * n2 + n2
 
     def build_all(plane):
         w = jax.lax.dynamic_slice(plane, (jnp.asarray(start0),), (span,))
         chunks = []
         for ci in range(nchunks):
             base = ci * batch * step
-            rows = [jax.lax.slice(w, (base + r * n2,),
-                                  (base + r * n2 + n2 + halo,))
-                    for r in range(n1)]
-            chunks.append(jnp.stack(rows))
-        return jnp.pad(jnp.stack(chunks),
-                       ((0, 0), (0, 0), (0, wcols - n2 - halo)))
+            a = jax.lax.slice(w, (base,), (base + n1 * n2,)).reshape(n1, n2)
+            b = jax.lax.slice(w, (base + n2,),
+                              (base + n2 + n1 * n2,)).reshape(n1, n2)
+            chunks.append(jnp.concatenate(
+                [a, b[:, :halo],
+                 jnp.zeros((n1, wcols - n2 - halo), plane.dtype)], axis=1))
+        return jnp.stack(chunks)
 
     z_re = build_all(rre)
     z_im = build_all(rim)
@@ -339,8 +348,7 @@ def fused_freq_scan_xcorr(cutout, rx, shifts0: int, num_shifts: int,
     if not plan.viable:
         raise ValueError(f"no viable fused plan for n={n}")
     nchunks = -(-num_shifts // batch)
-    halo = (batch - 1) * step
-    need = shifts0 + (nchunks - 1) * batch * step + n + halo
+    need = shifts0 + (nchunks - 1) * batch * step + n + plan.n2 + 128
     rx = jnp.asarray(rx)
     rxp = jnp.pad(rx, (0, max(0, need - int(rx.shape[-1]))))
     cc = jnp.conj(jnp.asarray(cutout))

@@ -157,10 +157,10 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         if plan.viable:
             k = shifts.shape[0]
             nchunks = -(-k // batch_size)
-            halo = (batch_size - 1) * step
-            # padded tail shifts of the last chunk may run past the caller's
-            # validated range; cover their windows explicitly
-            rxp = jnp.pad(rx, (0, 2 * batch_size * step + halo))
+            # padded tail shifts of the last chunk (and the window build's
+            # extra n2-row lookahead) may run past the caller's validated
+            # range; cover them explicitly
+            rxp = jnp.pad(rx, (0, batch_size * step + plan.n2 + 128))
             maxv, bins = fused_freq_scan_peak(cutout_conj, rxp, shifts[0],
                                               nchunks, plan,
                                               interpret=interpret)
