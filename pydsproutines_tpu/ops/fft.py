@@ -221,38 +221,100 @@ class FourStepFFT:
             self._perm = _fft_output_perm(self.factors).astype(np.int32)
         return self._perm
 
-    # -- fused peak path: twiddle+stage2+|.|^2+argmax in one Pallas kernel,
-    # so the (batch, N) spectrum never round-trips HBM. Only the winning
-    # (magnitude^2, bin) per transform comes back.
+    # -- fused peak path: twiddle+final-stage+|.|^2+argmax in one Pallas
+    # kernel, so the (batch, N) spectrum never round-trips HBM. Only the
+    # winning (magnitude^2, bin) per transform comes back. Works for any
+    # plan depth: stages 0..L-2 run as XLA einsums (permuted layout, no
+    # transposes); the Pallas kernel absorbs the last twiddle + last-stage
+    # matmul + magnitude + argmax, then a tiny XLA argmax picks the winner
+    # across the leading-digit rows.
+
+    def _peak_consts(self):
+        """Host-side constants for the fused last-stage kernel: the
+        (f_{L-2}, f_{L-1}) twiddle of the innermost two-factor split and the
+        f_{L-1}-point DFT matrix. Small even when the plan itself is
+        device-generated, so they are always built host-side."""
+        if not hasattr(self, "_pk"):
+            k1, j = self.factors[-2], self.factors[-1]
+            m = k1 * j
+            a = np.arange(k1, dtype=np.float64)
+            bb = np.arange(j, dtype=np.float64)
+            phase = np.mod(np.outer(a, bb), m) * (2.0 * np.pi / m)
+            tw = np.exp(-1j * phase).astype(np.complex64)
+            self._pk = (tw, _dft_matrix(j, np.complex64))
+        return self._pk
 
     def peak_viable(self, mode: str = "bf16") -> bool:
-        """True when call_peak can run: a two-factor plan whose stage-2
-        matrix + row tiles fit the VMEM budget of the fused kernel."""
-        if not self.viable or len(self.factors) != 2 or self.device_gen:
-            return False  # the peak kernel needs host-side stage matrices
+        """True when call_peak can run: the innermost two factors' twiddle +
+        stage matrix + row tiles fit the VMEM budget of the fused kernel."""
+        if not self.viable or len(self.factors) < 2:
+            return False
         from pydsproutines_tpu.ops.pallas.fft_peak import pick_row_tile
-        n1, n2 = self.factors
-        return pick_row_tile(n1, n2, n2, mode) is not None
+        k1, j = self.factors[-2], self.factors[-1]
+        return pick_row_tile(k1, j, j, mode) is not None
 
     def call_peak(self, x: jnp.ndarray, mode: str = "bf16",
                   interpret: bool = False):
         """(peak |X[k]|^2, argmax bin k) over the DFT of each row of x,
         without materializing the spectrum. ``mode`` selects MXU precision
         ("bf16" ~1e-2 spectrum rel err / "bf16x3" ~1e-5 / "f32" ~5e-7).
+        Tie semantics match argmax over the call_permuted layout.
         """
         from pydsproutines_tpu.ops.pallas.fft_peak import stage2_caf_peak
-        n1, n2 = self.factors
+        factors = self.factors
+        nstages = len(factors)
         prec = {"bf16": jax.lax.Precision.DEFAULT,
                 "bf16x3": jax.lax.Precision.HIGH,
                 "f32": jax.lax.Precision.HIGHEST}[mode]
         lead = x.shape[:-1]
-        b = x.reshape((-1, n1, n2))
-        f1 = jnp.einsum("kn,bnm->bkm", jnp.asarray(self.stage_w[0]), b,
-                        precision=prec)
-        pmax, true_bin = stage2_caf_peak(
-            f1, self.stage_tw[0], self.stage_w[1], n1, mode=mode,
-            interpret=interpret)
-        return pmax.reshape(lead), true_bin.reshape(lead)
+        stage_w, stage_tw = self._mats()
+        cur = x.reshape((-1, self.n))
+        m = self.n
+        # stages 0..L-3 with twiddles; stage L-2's einsum without its twiddle
+        # (the kernel applies it)
+        for s in range(nstages - 1):
+            n1 = factors[s]
+            rest = m // n1
+            cur = cur.reshape(cur.shape[:-1] + (n1, rest))
+            cur = jnp.einsum("kn,...nm->...km", jnp.asarray(stage_w[s]), cur,
+                             precision=prec)
+            if s < nstages - 2:
+                cur = cur * jnp.asarray(stage_tw[s])
+                m = rest
+        # cur: (B, f0, ..., f_{L-3}, K1=f_{L-2}, J=f_{L-1})
+        rows = 1
+        for f in factors[:-2]:
+            rows *= f
+        tw_last, w_last = self._peak_consts()
+        pmax, inner = stage2_caf_peak(
+            cur.reshape((-1, factors[-2], factors[-1])), tw_last, w_last,
+            factors[-2], mode=mode, interpret=interpret)
+        if rows == 1:
+            return pmax.reshape(lead), inner.reshape(lead)
+        # winner across the leading-digit rows: row-major (k0, ..., k_{L-3})
+        # flattening == permuted (k0-major) order, so first-occurrence argmax
+        # matches call_permuted tie-breaks
+        pmax = pmax.reshape((-1, rows))
+        inner = inner.reshape((-1, rows))
+        r_star = jnp.argmax(pmax, axis=-1)
+        peak = jnp.take_along_axis(pmax, r_star[:, None], axis=-1)[:, 0]
+        ib = jnp.take_along_axis(inner, r_star[:, None], axis=-1)[:, 0]
+        # true bin: k = k0 + f0*(k1 + f1*(... + f_{L-3} * inner_bin)),
+        # digits of r_star row-major over (f0, ..., f_{L-3})
+        true_bin = ib.astype(jnp.int32)
+        rem = r_star.astype(jnp.int32)
+        strides = []
+        acc = 1
+        for f in factors[1:-2][::-1]:
+            acc *= f
+            strides.append(acc)
+        strides = strides[::-1] + [1]
+        digits = []
+        for f, st in zip(factors[:-2], strides):
+            digits.append((rem // st) % f)
+        for f, d in zip(factors[:-2][::-1], digits[::-1]):
+            true_bin = d.astype(jnp.int32) + np.int32(f) * true_bin
+        return peak.reshape(lead), true_bin.reshape(lead)
 
 
 def _matmul_fft_stage(x, factors, stage_w, stage_tw, s):

@@ -81,3 +81,48 @@ def test_fast_xcorr_precision_knob(mode):
                             freqsearch=True, precision=mode)
     assert int(np.argmax(np.asarray(qf2))) == 7
     assert int(np.asarray(freqs)[7]) == 0
+
+
+@pytest.mark.parametrize("factors", [[32, 16, 16], [8, 8, 8, 8]])
+@pytest.mark.parametrize("mode,tol", [("bf16", 5e-3), ("f32", 5e-6)])
+def test_call_peak_multistage_matches_fft_argmax(factors, mode, tol):
+    """Multi-stage plans route the last two factors through the fused
+    kernel and argmax the leading-digit rows in XLA; bins and tie-breaks
+    must match the natural-order spectrum argmax."""
+    from pydsproutines_tpu.ops.fft import FourStepFFT
+    n = int(np.prod(factors))
+    plan = FourStepFFT(n, factors=list(factors))
+    assert plan.viable and plan.peak_viable(mode)
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((3, n))
+         + 1j * rng.standard_normal((3, n))).astype(np.complex64)
+    # plant distinct peaks so bf16 noise cannot flip the winner
+    for r, k in enumerate([5, n // 2 + 3, n - 17]):
+        x[r] += 40.0 * np.exp(2j * np.pi * k * np.arange(n) / n)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    rmag = np.abs(ref) ** 2
+
+    pmax, ibin = plan.call_peak(jnp.asarray(x), mode=mode, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ibin), np.argmax(rmag, axis=-1))
+    np.testing.assert_allclose(np.asarray(pmax), rmag.max(axis=-1), rtol=tol)
+
+
+def test_call_peak_multistage_device_gen_plan():
+    """A plan big enough to trigger on-device matrix generation still
+    supports the fused peak path (host-side last-stage constants)."""
+    from pydsproutines_tpu.ops.fft import FourStepFFT
+    n = 40 * 32 * 32
+    plan = FourStepFFT(n, factors=[40, 32, 32])
+    plan.device_gen = True   # force the in-trace matrix path
+    plan.stage_w = plan.stage_tw = None
+    assert plan.peak_viable("bf16")
+    rng = np.random.default_rng(29)
+    x = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    x[0] += 30.0 * np.exp(2j * np.pi * 1234 * np.arange(n) / n)
+    x[1] += 30.0 * np.exp(2j * np.pi * (n - 5) * np.arange(n) / n)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    rmag = np.abs(ref) ** 2
+    pmax, ibin = plan.call_peak(jnp.asarray(x), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ibin), np.argmax(rmag, axis=-1))
+    np.testing.assert_allclose(np.asarray(pmax), rmag.max(axis=-1), rtol=5e-3)
