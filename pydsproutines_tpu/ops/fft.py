@@ -103,6 +103,51 @@ def _twiddle_dev(n1: int, rest: int, m: int) -> jnp.ndarray:
     return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
 
 
+def _dft_planes_dev(n: int):
+    """(cos, sin) float32 planes of the n-point DFT matrix, built in-trace."""
+    k = jnp.arange(n, dtype=jnp.int32)
+    m = (k[:, None] * k[None, :]) % n
+    ph = m.astype(jnp.float32) * np.float32(-2.0 * np.pi / n)
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+def _twiddle_planes_dev(n1: int, rest: int, m: int):
+    k1 = jnp.arange(n1, dtype=jnp.int32)
+    j = jnp.arange(rest, dtype=jnp.int32)
+    mm = (k1[:, None] * j[None, :]) % m
+    ph = mm.astype(jnp.float32) * np.float32(-2.0 * np.pi / m)
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+def _peak_winner(pmax, inner, rows: int, factors, lead):
+    """Reduce the fused last-stage kernel's per-leading-digit-row winners to
+    one (peak, true bin) per transform. Row-major (k0, ..., k_{L-3})
+    flattening == permuted (k0-major) order, so first-occurrence argmax
+    matches call_permuted tie-breaks. True bin reconstruction:
+    k = k0 + f0*(k1 + f1*(... + f_{L-3} * inner_bin))."""
+    if rows == 1:
+        return pmax.reshape(lead), inner.reshape(lead)
+    pmax = pmax.reshape((-1, rows))
+    inner = inner.reshape((-1, rows))
+    r_star = jnp.argmax(pmax, axis=-1)
+    peak = jnp.take_along_axis(pmax, r_star[:, None], axis=-1)[:, 0]
+    ib = jnp.take_along_axis(inner, r_star[:, None], axis=-1)[:, 0]
+    true_bin = ib.astype(jnp.int32)
+    rem = r_star.astype(jnp.int32)
+    strides = []
+    acc = 1
+    for f in factors[1:-2][::-1]:
+        acc *= f
+        strides.append(acc)
+    strides = strides[::-1] + [1]
+    digits = []
+    for f, st in zip(factors[:-2], strides):
+        digits.append((rem // st) % f)
+    for f, d in zip(factors[:-2][::-1], digits[::-1]):
+        true_bin = d.astype(jnp.int32) + np.int32(f) * true_bin
+    return peak.reshape(lead), true_bin.reshape(lead)
+
+
 class FourStepFFT:
     """Plan for an exact N-point DFT via matmul stages (Cooley-Tukey with
     large mixed radices: N = n1*n2*...*nk, each stage a batched DFT-matrix
@@ -289,32 +334,103 @@ class FourStepFFT:
         pmax, inner = stage2_caf_peak(
             cur.reshape((-1, factors[-2], factors[-1])), tw_last, w_last,
             factors[-2], mode=mode, interpret=interpret)
-        if rows == 1:
-            return pmax.reshape(lead), inner.reshape(lead)
-        # winner across the leading-digit rows: row-major (k0, ..., k_{L-3})
-        # flattening == permuted (k0-major) order, so first-occurrence argmax
-        # matches call_permuted tie-breaks
-        pmax = pmax.reshape((-1, rows))
-        inner = inner.reshape((-1, rows))
-        r_star = jnp.argmax(pmax, axis=-1)
-        peak = jnp.take_along_axis(pmax, r_star[:, None], axis=-1)[:, 0]
-        ib = jnp.take_along_axis(inner, r_star[:, None], axis=-1)[:, 0]
-        # true bin: k = k0 + f0*(k1 + f1*(... + f_{L-3} * inner_bin)),
-        # digits of r_star row-major over (f0, ..., f_{L-3})
-        true_bin = ib.astype(jnp.int32)
-        rem = r_star.astype(jnp.int32)
-        strides = []
-        acc = 1
-        for f in factors[1:-2][::-1]:
-            acc *= f
-            strides.append(acc)
-        strides = strides[::-1] + [1]
-        digits = []
-        for f, st in zip(factors[:-2], strides):
-            digits.append((rem // st) % f)
-        for f, d in zip(factors[:-2][::-1], digits[::-1]):
-            true_bin = d.astype(jnp.int32) + np.int32(f) * true_bin
-        return peak.reshape(lead), true_bin.reshape(lead)
+        return _peak_winner(pmax, inner, rows, factors, lead)
+
+    def call_peak_planes(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                         mode: str = "bf16", interpret: bool = False,
+                         mats=None):
+        """As call_peak but over separate real/imag float32 planes (..., n).
+
+        In "bf16" mode every inter-stage intermediate (and the stage
+        matrices) is stored as bfloat16 planes: half the HBM traffic of the
+        complex64 path at the same MXU math — the stage matmuls consume bf16
+        regardless — with peak-search-grade accuracy (~1e-2 spectrum rel
+        err). "f32" stores float32 planes with Precision.HIGHEST matmuls.
+        ("bf16x3" is not offered here; use call_peak.)
+        """
+        from pydsproutines_tpu.ops.pallas.fft_peak import (
+            stage2_caf_peak_planes)
+        if mode not in ("bf16", "f32"):
+            raise ValueError("call_peak_planes supports bf16/f32 only")
+        factors = self.factors
+        nstages = len(factors)
+        store = jnp.bfloat16 if mode == "bf16" else jnp.float32
+        prec = (jax.lax.Precision.HIGHEST if mode == "f32"
+                else jax.lax.Precision.DEFAULT)
+        ein = functools.partial(jnp.einsum, precision=prec,
+                                preferred_element_type=jnp.float32)
+        lead = xr.shape[:-1]
+        cr = xr.reshape((-1, self.n)).astype(store)
+        ci = xi.reshape((-1, self.n)).astype(store)
+        # mats may be precomputed by the caller and closed over OUTSIDE a
+        # lax.map/scan body: device-generated planes are loop-variant-looking
+        # to XLA otherwise and get rebuilt every iteration (measured +0.7
+        # ms/shift at n=1e7 on v5e)
+        wr_l, wi_l, twr_l, twi_l = (mats if mats is not None
+                                    else self._mats_planes(mode))
+        m = self.n
+        for s in range(nstages - 1):
+            n1 = factors[s]
+            rest = m // n1
+            cr = cr.reshape(cr.shape[:-1] + (n1, rest))
+            ci = ci.reshape(ci.shape[:-1] + (n1, rest))
+            wr, wi = jnp.asarray(wr_l[s]), jnp.asarray(wi_l[s])
+            fr = ein("kn,...nm->...km", wr, cr) \
+                - ein("kn,...nm->...km", wi, ci)
+            fi = ein("kn,...nm->...km", wr, ci) \
+                + ein("kn,...nm->...km", wi, cr)
+            if s < nstages - 2:
+                twr, twi = jnp.asarray(twr_l[s]), jnp.asarray(twi_l[s])
+                cr = (fr * twr - fi * twi).astype(store)
+                ci = (fr * twi + fi * twr).astype(store)
+                m = rest
+            else:
+                cr, ci = fr.astype(store), fi.astype(store)
+        rows = 1
+        for f in factors[:-2]:
+            rows *= f
+        tw_last, w_last = self._peak_consts()
+        pmax, inner = stage2_caf_peak_planes(
+            cr.reshape((-1, factors[-2], factors[-1])),
+            ci.reshape((-1, factors[-2], factors[-1])),
+            tw_last, w_last, factors[-2], mode=mode, interpret=interpret)
+        return _peak_winner(pmax, inner, rows, factors, lead)
+
+    def _mats_planes(self, mode: str):
+        """Per-stage DFT-matrix and twiddle planes (wr, wi, twr, twi lists),
+        stored at the mode's storage dtype (bf16 for "bf16" — the MXU
+        consumes bf16 there regardless and the big O(n) twiddle read halves;
+        f32 otherwise). Device-generated plans build the planes in-trace."""
+        if self.device_gen:
+            wr, wi, twr, twi = [], [], [], []
+            wdt = jnp.bfloat16 if mode == "bf16" else jnp.float32
+            m = self.n
+            for s, n1 in enumerate(self.factors[:-1]):
+                rest = m // n1
+                wc, ws = _dft_planes_dev(n1)
+                wr.append(wc.astype(wdt))
+                wi.append(ws.astype(wdt))
+                tc, tsn = _twiddle_planes_dev(n1, rest, m)
+                twr.append(tc.astype(wdt))
+                twi.append(tsn.astype(wdt))
+                m = rest
+            wc, ws = _dft_planes_dev(self.factors[-1])
+            wr.append(wc.astype(wdt))
+            wi.append(ws.astype(wdt))
+            return wr, wi, twr, twi
+        key = ("planes", mode)
+        if not hasattr(self, "_planes_cache"):
+            self._planes_cache = {}
+        if key not in self._planes_cache:
+            import ml_dtypes
+            wdt = (np.dtype(ml_dtypes.bfloat16) if mode == "bf16"
+                   else np.dtype(np.float32))
+            wr = [w.real.astype(wdt) for w in self.stage_w]
+            wi = [w.imag.astype(wdt) for w in self.stage_w]
+            twr = [t.real.astype(wdt) for t in self.stage_tw]
+            twi = [t.imag.astype(wdt) for t in self.stage_tw]
+            self._planes_cache[key] = (wr, wi, twr, twi)
+        return self._planes_cache[key]
 
 
 def _matmul_fft_stage(x, factors, stage_w, stage_tw, s):

@@ -74,8 +74,12 @@ def _kernel(f1r, f1i, twr, twi, w2r_hbm, w2i_hbm, w2r_lo_hbm, w2i_lo_hbm,
         for c in copies:
             c.wait()
 
-    gr = f1r[0] * twr[:] - f1i[0] * twi[:]
-    gi = f1r[0] * twi[:] + f1i[0] * twr[:]
+    # f1 planes may arrive bf16 (the multi-stage planes path stores bf16
+    # intermediates); upcast for the f32 VPU twiddle multiply
+    f1r0 = f1r[0].astype(jnp.float32)
+    f1i0 = f1i[0].astype(jnp.float32)
+    gr = f1r0 * twr[:] - f1i0 * twi[:]
+    gi = f1r0 * twi[:] + f1i0 * twr[:]
 
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -216,8 +220,9 @@ def stage2_caf_peak_planes(f1r: jnp.ndarray, f1i: jnp.ndarray,
                            tw: np.ndarray, w2: np.ndarray, n1: int,
                            mode: str = "bf16", k1t: int | None = None,
                            interpret: bool = False):
-    """As stage2_caf_peak but over separate (B, K1, J) float32 re/im planes
-    (the layout Pallas producers hand over directly)."""
+    """As stage2_caf_peak but over separate (B, K1, J) re/im planes (float32
+    or bfloat16 — the layout Pallas/planes producers hand over directly;
+    bf16 planes are upcast in-kernel for the twiddle multiply)."""
     b, k1, j = f1r.shape
     w2t = np.ascontiguousarray(np.asarray(w2).T)       # (J, K2)
     k2 = w2t.shape[1]

@@ -126,3 +126,44 @@ def test_call_peak_multistage_device_gen_plan():
     pmax, ibin = plan.call_peak(jnp.asarray(x), interpret=True)
     np.testing.assert_array_equal(np.asarray(ibin), np.argmax(rmag, axis=-1))
     np.testing.assert_allclose(np.asarray(pmax), rmag.max(axis=-1), rtol=5e-3)
+
+
+@pytest.mark.parametrize("factors", [[32, 16, 16], [8, 8, 8, 8]])
+@pytest.mark.parametrize("mode,tol", [("bf16", 2e-2), ("f32", 5e-6)])
+def test_call_peak_planes_matches_fft_argmax(factors, mode, tol):
+    """The planes fast path (bf16 inter-stage storage) must agree with the
+    natural-order spectrum argmax on planted peaks."""
+    from pydsproutines_tpu.ops.fft import FourStepFFT
+    n = int(np.prod(factors))
+    plan = FourStepFFT(n, factors=list(factors))
+    rng = np.random.default_rng(17)
+    x = (rng.standard_normal((3, n))
+         + 1j * rng.standard_normal((3, n))).astype(np.complex64)
+    for r, k in enumerate([2, n // 3, n - 9]):
+        x[r] += 50.0 * np.exp(2j * np.pi * k * np.arange(n) / n)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    rmag = np.abs(ref) ** 2
+
+    pmax, ibin = plan.call_peak_planes(
+        jnp.asarray(x.real), jnp.asarray(x.imag), mode=mode, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ibin), np.argmax(rmag, axis=-1))
+    np.testing.assert_allclose(np.asarray(pmax), rmag.max(axis=-1), rtol=tol)
+
+
+def test_call_peak_planes_device_gen():
+    from pydsproutines_tpu.ops.fft import FourStepFFT
+    n = 40 * 32 * 32
+    plan = FourStepFFT(n, factors=[40, 32, 32])
+    plan.device_gen = True
+    plan.stage_w = plan.stage_tw = None
+    rng = np.random.default_rng(23)
+    x = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    x[0] += 40.0 * np.exp(2j * np.pi * 999 * np.arange(n) / n)
+    x[1] += 40.0 * np.exp(2j * np.pi * 3 * np.arange(n) / n)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    rmag = np.abs(ref) ** 2
+    pmax, ibin = plan.call_peak_planes(
+        jnp.asarray(x.real), jnp.asarray(x.imag), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ibin), np.argmax(rmag, axis=-1))
+    np.testing.assert_allclose(np.asarray(pmax), rmag.max(axis=-1), rtol=2e-2)
