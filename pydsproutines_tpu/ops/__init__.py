@@ -47,6 +47,9 @@ from pydsproutines_tpu.ops.demod import (
     SimpleDemodulatorBPSK,
     SimpleDemodulatorQPSK,
     SimpleDemodulator8PSK,
+    DemodulatorBatchPSK,
+    DemodulatorBatchQPSK,
+    BatchDemodResult,
     BurstyDemodulatorCP2FSK,
     demodulate_cp2fsk,
     detect_b_or_q,
@@ -93,6 +96,9 @@ __all__ = [
     "SimpleDemodulatorBPSK",
     "SimpleDemodulatorQPSK",
     "SimpleDemodulator8PSK",
+    "DemodulatorBatchPSK",
+    "DemodulatorBatchQPSK",
+    "BatchDemodResult",
     "BurstyDemodulatorCP2FSK",
     "demodulate_cp2fsk",
     "detect_b_or_q",

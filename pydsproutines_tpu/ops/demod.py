@@ -19,6 +19,7 @@ a one-hot gather-sum over (shift, rotation). Everything vmaps over bursts.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -319,6 +320,173 @@ class SimpleDemodulator8PSK(SimpleDemodulatorPSK):
 
     def _map(self, reimc):
         return map_syms_8psk(reimc, jnp.max(self.eo_metric))
+
+
+# ---------------------------------------------------------------------------
+# Burst-batched PSK demod chain
+# ---------------------------------------------------------------------------
+
+class BatchDemodResult(NamedTuple):
+    """Outputs of the burst-batched PSK chain (the reference's demodBatch
+    output tuple, demodulationRoutines.py:1168-1175)."""
+    reimc: jnp.ndarray          # (B, nsym) phase-locked constellation
+    syms: jnp.ndarray           # (B, nsym) uint8 mapped symbols (pre-rotation)
+    eo_idx: jnp.ndarray         # (B,) eye-opening phase per burst
+    eo_metric: jnp.ndarray      # (B, osr)
+    svd_metric: jnp.ndarray     # (B,) phase-lock cluster quality
+    theta: jnp.ndarray          # (B,) phase-lock angle
+    best_matches: jnp.ndarray   # (B,) best preamble match count
+    best_rotations: jnp.ndarray  # (B,) winning constellation rotation
+    best_idx: jnp.ndarray       # (B,) winning preamble start (symbol index)
+    rotated_syms: jnp.ndarray   # (B, nsym) rotation-corrected symbols
+    bits: jnp.ndarray           # (B, num_out_syms*bps) unpacked payload bits
+    bit_counts: jnp.ndarray     # (B,) valid symbols written per burst
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "m", "osr", "search_start", "search_len", "amble_len", "num_out_syms",
+    "variant"))
+def _psk_demod_batch_impl(xbatch, lengths, amble, *, m, osr, search_start,
+                          search_len, amble_len, num_out_syms, variant):
+    """Whole burst-batched chain in one trace: masked eye-opening -> masked
+    2x2-eig phase lock -> constellation map -> preamble shift/rotation search
+    -> payload cut + rotate + bit unpack. The TPU re-expression of the
+    reference's one-block-per-burst fused kernel
+    (custom_kernels/demodulation.cu:814, eyeOpeningKernel.cu:5): vmap over the
+    burst axis replaces the CUDA block axis; XLA fuses the stages.
+    """
+    B, L = xbatch.shape
+    nsym = L // osr
+    rdt = real_dtype_for(xbatch.dtype)
+    x_rs = xbatch[:, : nsym * osr].reshape(B, nsym, osr)
+    # per-sample validity from per-burst lengths
+    pos = jnp.arange(nsym * osr).reshape(nsym, osr)
+    mask_rs = pos[None, :, :] < lengths[:, None, None]        # (B, nsym, osr)
+
+    # -- eye opening (masked mean |x| per phase) ------------------------------
+    absx = jnp.abs(x_rs).astype(rdt)
+    counts = jnp.sum(mask_rs, axis=1).astype(rdt)             # (B, osr)
+    eo_metric = jnp.sum(absx * mask_rs, axis=1) / jnp.maximum(counts, 1)
+    eo_idx = jnp.argmax(eo_metric, axis=-1)                   # (B,)
+    xeo = jnp.take_along_axis(
+        x_rs, eo_idx[:, None, None], axis=2)[:, :, 0]         # (B, nsym)
+    symmask = jnp.take_along_axis(
+        mask_rs, eo_idx[:, None, None], axis=2)[:, :, 0]      # (B, nsym)
+    nsym_valid = jnp.sum(symmask, axis=1).astype(jnp.int32)   # (B,)
+
+    # -- blind phase lock (masked 2x2 self-product, closed-form eig) ----------
+    powerup = m // 2
+    reimp = jnp.where(symmask, xeo, 0) ** powerup
+    re, im = reimp.real.astype(rdt), reimp.imag.astype(rdt)
+    a = jnp.sum(re * re, axis=1)
+    b = jnp.sum(re * im, axis=1)
+    c = jnp.sum(im * im, axis=1)
+    lam_max, lam_min, theta = _sym_eig2(a, b, c)
+    svd_metric = lam_min / jnp.maximum(lam_max, jnp.finfo(rdt).tiny)
+    box = np.pi / 4 if variant == "qpsk" else 0.0
+    reimc = xeo * jnp.exp(1j * (-theta / powerup + box))[:, None]
+
+    # -- constellation mapping -------------------------------------------------
+    if variant == "bpsk":
+        syms = map_syms_bpsk(reimc)
+    elif variant == "qpsk":
+        syms = map_syms_qpsk(reimc)
+    elif variant == "8psk":
+        syms = jax.vmap(
+            lambda row, s: map_syms_8psk(row, s))(reimc,
+                                                  jnp.max(eo_metric, axis=1))
+    else:
+        syms = map_syms(reimc.reshape(-1), m).reshape(B, nsym)
+
+    # -- preamble shift x rotation search (one-hot histogram, all bursts) -----
+    shifts = search_start + jnp.arange(search_len)
+    win_idx = shifts[:, None] + jnp.arange(amble_len)[None, :]   # (S, A)
+    windows = syms[:, win_idx].astype(jnp.int32)                 # (B, S, A)
+    diff = jnp.mod(amble.astype(jnp.int32)[None, None, :] - windows, m)
+    matches = jnp.sum(jax.nn.one_hot(diff, m, dtype=jnp.int32),
+                      axis=2)                                    # (B, S, m)
+    # shifts whose amble window runs past the burst's valid symbols lose
+    valid_shift = (shifts[None, :] + amble_len) <= nsym_valid[:, None]
+    matches = jnp.where(valid_shift[:, :, None], matches, -1)
+    flat = jnp.argmax(matches.reshape(B, -1), axis=1)
+    s_best = (flat // m).astype(jnp.int32)
+    best_rotations = (flat % m).astype(jnp.int32)
+    best_idx = search_start + s_best
+    best_matches = jnp.take_along_axis(
+        matches.reshape(B, -1), flat[:, None], axis=1)[:, 0]
+    rotated = jnp.mod(syms.astype(jnp.int32) + best_rotations[:, None],
+                      m).astype(jnp.uint8)
+
+    # -- payload cut + bit unpack (reference cutAndRotateFromPreambles) -------
+    out_pos = best_idx[:, None] + amble_len + jnp.arange(num_out_syms)[None, :]
+    in_range = out_pos < nsym_valid[:, None]
+    gathered = jnp.take_along_axis(
+        rotated, jnp.clip(out_pos, 0, nsym - 1), axis=1)
+    gathered = jnp.where(in_range, gathered, 0)
+    bit_counts = jnp.sum(in_range, axis=1).astype(jnp.int32)
+    bps = int(np.log2(m))
+    bitvals = jnp.asarray(PSK_BITMAPS[m])[gathered]              # (B, n_out)
+    # unpack to one byte per bit, MSB first (reference unpackToBinaryBytes)
+    shifts_b = np.arange(bps - 1, -1, -1, dtype=np.int32)
+    bits = ((bitvals[:, :, None] >> shifts_b[None, None, :]) & 1).astype(
+        jnp.uint8).reshape(B, num_out_syms * bps)
+    bits = jnp.where(jnp.repeat(in_range, bps, axis=1), bits, 0)
+
+    return BatchDemodResult(
+        reimc=reimc, syms=syms, eo_idx=eo_idx.astype(jnp.int32),
+        eo_metric=eo_metric, svd_metric=svd_metric, theta=theta,
+        best_matches=best_matches, best_rotations=best_rotations,
+        best_idx=best_idx, rotated_syms=rotated, bits=bits,
+        bit_counts=bit_counts)
+
+
+class DemodulatorBatchPSK:
+    """Burst-batched PSK demodulator: the full eye-opening -> phase-lock ->
+    map -> preamble-search -> bit-cut chain over a (bursts, maxlen) matrix
+    with per-burst lengths/masks, in ONE jitted program (reference
+    CupyDemodulatorQPSK.demodBatch / getEyeOpeningBatch / cutAndRotate-
+    FromPreambles, demodulationRoutines.py:915-1175, and the fused kernel
+    custom_kernels/demodulation.cu:814).
+
+    ``variant`` picks the specialized mapping ("bpsk"/"qpsk"/"8psk"), default
+    the generic dot-product map. Symbol/rotation conventions match
+    ``SimpleDemodulatorPSK`` exactly, so batched output row b equals the
+    single-burst chain run on ``xbatch[b, :lengths[b]]``.
+    """
+
+    def __init__(self, m: int, variant: str = "generic", bitmap=None):
+        self.m = int(m)
+        self.variant = variant
+        self.bitmap = PSK_BITMAPS[self.m] if bitmap is None else np.asarray(bitmap)
+
+    def demod_batch(self, xbatch: jnp.ndarray, osr: int, amble,
+                    search_start: int = 0, search_len: int = 128,
+                    num_out_syms: int | None = None,
+                    lengths=None) -> BatchDemodResult:
+        B, L = xbatch.shape
+        nsym = L // osr
+        amble = jnp.asarray(amble)
+        if lengths is None:
+            lengths = jnp.full((B,), L, dtype=jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        if num_out_syms is None:
+            num_out_syms = nsym - int(amble.shape[-1]) - search_start
+        search_len = int(min(search_len, nsym - int(amble.shape[-1])
+                             - search_start + 1))
+        return _psk_demod_batch_impl(
+            xbatch, lengths, amble, m=self.m, osr=int(osr),
+            search_start=int(search_start), search_len=search_len,
+            amble_len=int(amble.shape[-1]),
+            num_out_syms=int(num_out_syms), variant=self.variant)
+
+
+class DemodulatorBatchQPSK(DemodulatorBatchPSK):
+    """QPSK burst-batched chain (reference CupyDemodulatorQPSK,
+    demodulationRoutines.py:915)."""
+
+    def __init__(self, bitmap=None):
+        super().__init__(4, "qpsk", bitmap)
 
 
 # ---------------------------------------------------------------------------

@@ -67,8 +67,12 @@ class GroupXcorrCZT:
         self.fs = float(fs)
         self.max_length = int(np.max(lengths))
 
+        # All plan constants stay HOST numpy, closed over by the per-instance
+        # jitted closure (embedded as program constants). The axon TPU
+        # transport cannot transfer complex arrays host<->device, so complex
+        # plan state must never be a runtime jit argument.
         ystack = _stack_groups(np.asarray(y), starts, lengths, auto_conj)
-        self.ystack = jnp.asarray(ystack, dtype=dtype)
+        self.ystack = ystack.astype(np.dtype(dtype))
         self.ystack_norm_sq = float(np.linalg.norm(ystack.flatten()) ** 2)
 
         self.plan = CZT(self.max_length, f1, f2, bin_width, fs, dtype=dtype)
@@ -76,10 +80,10 @@ class GroupXcorrCZT:
         self.czt_freq = freqs
         # per-group phase alignment exp(-j*2*pi*f*start/fs)
         phases = np.exp(-2j * np.pi * freqs[None, :] * starts[:, None] / fs)
-        self.group_phases = jnp.asarray(phases, dtype=dtype)
+        self.group_phases = phases.astype(np.dtype(dtype))
         # mask for valid samples per group row (groups padded to max_length)
-        self.group_mask = jnp.asarray(
-            np.arange(self.max_length)[None, :] < lengths[:, None])
+        self.group_mask = np.arange(self.max_length)[None, :] < lengths[:, None]
+        self._fns = {}
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
         if shifts is None:
@@ -87,34 +91,33 @@ class GroupXcorrCZT:
                 rx.shape[-1] - (int(self.starts[-1]) + int(self.lengths[-1])) + 1)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
-        xc = _group_xcorr_czt_impl(
-            rx, shifts, self.ystack, jnp.asarray(self.starts),
-            self.group_mask, self.group_phases, self.plan.aa, self.plan.fv,
-            self.plan.ww_tail, jnp.asarray(self.ystack_norm_sq,
-                                           dtype=real_dtype_for(rx.dtype)),
-            m=self.max_length, k=self.plan.k, nfft=self.plan.nfft,
-            batch_size=bs)
-        return xc, self.czt_freq
+        fn = self._fns.get(bs)
+        if fn is None:
+            ystack, mask, phases = self.ystack, self.group_mask, self.group_phases
+            starts = self.starts.astype(np.int32)
+            aa, fv, ww = self.plan.aa, self.plan.fv, self.plan.ww_tail
+            m, k, nfft = self.max_length, self.plan.k, self.plan.nfft
+            ynormsq = self.ystack_norm_sq
 
+            def _impl(rx, shifts):
+                def one_shift(shift):
+                    # gather every group's rx slice (padded to m), mask padding
+                    slices = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(
+                            rx, (shift + s,), (m,)))(jnp.asarray(starts))
+                    slices = jnp.where(mask, slices, 0)
+                    rx_norm_sq = jnp.sum(_abs_sq(slices))
+                    pdt = slices * ystack                      # (G, m)
+                    fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
+                    g = jnp.fft.ifft(fy * fv, axis=-1)
+                    pdtczt = g[:, m - 1: m + k - 1] * ww       # (G, k)
+                    combined = jnp.sum(pdtczt * phases, axis=0)
+                    return _abs_sq(combined) / rx_norm_sq / ynormsq
 
-@functools.partial(jax.jit, static_argnames=("m", "k", "nfft", "batch_size"))
-def _group_xcorr_czt_impl(rx, shifts, ystack, starts, group_mask,
-                          group_phases, aa, fv, ww_tail, ystack_norm_sq, *,
-                          m, k, nfft, batch_size):
-    def one_shift(shift):
-        # gather every group's rx slice (padded to m), mask the padding
-        slices = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(rx, (shift + s,), (m,)))(starts)
-        slices = jnp.where(group_mask, slices, 0)
-        rx_norm_sq = jnp.sum(_abs_sq(slices))
-        pdt = slices * ystack                      # (G, m)
-        fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
-        g = jnp.fft.ifft(fy * fv, axis=-1)
-        pdtczt = g[:, m - 1: m + k - 1] * ww_tail  # (G, k)
-        combined = jnp.sum(pdtczt * group_phases, axis=0)
-        return _abs_sq(combined) / rx_norm_sq / ystack_norm_sq
+                return _chunked_map(jax.vmap(one_shift), shifts, bs)
 
-    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)
+            fn = self._fns.setdefault(bs, jax.jit(_impl))
+        return fn(rx, shifts), self.czt_freq
 
 
 class GroupXcorrFFT:
@@ -138,11 +141,13 @@ class GroupXcorrFFT:
         self.ygroup_norm_sq = float(np.linalg.norm(ygroups.flatten()) ** 2)
         if auto_conj:
             ygroups = np.conj(ygroups)
-        self.ygroups = jnp.asarray(ygroups, dtype=dtype)
+        # host numpy plan state, embedded as program constants (axon-safe)
+        self.ygroups = ygroups.astype(np.dtype(dtype))
         fftfreq = np.asarray(make_freq(self.fftlen, fs, dtype=jnp.float64))
         phases = np.exp(-2j * np.pi * fftfreq[None, :] * starts[:, None] / fs)
-        self.group_phases = jnp.asarray(phases, dtype=dtype)
+        self.group_phases = phases.astype(np.dtype(dtype))
         self.fftfreq = fftfreq
+        self._fns = {}
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
         if shifts is None:
@@ -150,26 +155,28 @@ class GroupXcorrFFT:
                 rx.shape[-1] - (int(self.starts[-1]) + self.ygroup_len) + 1)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
-        return _group_xcorr_fft_impl(
-            rx, shifts, self.ygroups, jnp.asarray(self.starts),
-            self.group_phases,
-            jnp.asarray(self.ygroup_norm_sq, dtype=real_dtype_for(rx.dtype)),
-            n=self.ygroup_len, fftlen=self.fftlen, batch_size=bs)
+        fn = self._fns.get(bs)
+        if fn is None:
+            ygroups, phases = self.ygroups, self.group_phases
+            starts = self.starts.astype(np.int32)
+            n, fftlen = self.ygroup_len, self.fftlen
+            ynormsq = self.ygroup_norm_sq
 
+            def _impl(rx, shifts):
+                def one_shift(shift):
+                    slices = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(
+                            rx, (shift + s,), (n,)))(jnp.asarray(starts))
+                    rx_norm_sq = jnp.sum(_abs_sq(slices))
+                    pdt = slices * ygroups                     # (G, n)
+                    pdtfft = jnp.fft.fft(pdt, n=fftlen, axis=-1)
+                    combined = jnp.sum(pdtfft * phases, axis=0)
+                    return _abs_sq(combined) / rx_norm_sq / ynormsq
 
-@functools.partial(jax.jit, static_argnames=("n", "fftlen", "batch_size"))
-def _group_xcorr_fft_impl(rx, shifts, ygroups, starts, group_phases,
-                          ygroup_norm_sq, *, n, fftlen, batch_size):
-    def one_shift(shift):
-        slices = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(rx, (shift + s,), (n,)))(starts)
-        rx_norm_sq = jnp.sum(_abs_sq(slices))
-        pdt = slices * ygroups                     # (G, n)
-        pdtfft = jnp.fft.fft(pdt, n=fftlen, axis=-1)
-        combined = jnp.sum(pdtfft * group_phases, axis=0)
-        return _abs_sq(combined) / rx_norm_sq / ygroup_norm_sq
+                return _chunked_map(jax.vmap(one_shift), shifts, bs)
 
-    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)
+            fn = self._fns.setdefault(bs, jax.jit(_impl))
+        return fn(rx, shifts)
 
 
 class GroupXcorr:
@@ -196,15 +203,17 @@ class GroupXcorr:
         concat = np.hstack([y[s: s + l] for s, l in zip(starts, lengths)])
         if auto_conj:
             concat = np.conj(concat)
-        self.yconcat = jnp.asarray(concat, dtype=dtype)
+        # host numpy plan state, embedded as program constants (axon-safe)
+        self.yconcat = concat.astype(np.dtype(dtype))
         self.yconcat_norm_sq = float(np.linalg.norm(concat) ** 2)
         # tone bank over the *original sample positions* of the stitched groups
         positions = np.hstack([np.arange(s, s + l)
                                for s, l in zip(starts, lengths)])
         mat = np.exp(-2j * np.pi * freqs[:, None] * positions[None, :] / fs)
-        self.freq_mat = jnp.asarray(mat, dtype=dtype)
+        self.freq_mat = mat.astype(np.dtype(dtype))
         # gather indices for stitching rx slices per shift
-        self.gather_idx = jnp.asarray(positions)
+        self.gather_idx = positions.astype(np.int32)
+        self._fns = {}
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 64):
         if shifts is None:
@@ -212,27 +221,29 @@ class GroupXcorr:
                 rx.shape[-1] - (int(self.starts[-1]) + int(self.lengths[-1])) + 1)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
-        freqs = jnp.asarray(self.freqs, dtype=real_dtype_for(rx.dtype))
-        return _group_xcorr_impl(
-            rx, shifts, self.yconcat, self.freq_mat, self.gather_idx, freqs,
-            jnp.asarray(self.yconcat_norm_sq, dtype=real_dtype_for(rx.dtype)),
-            batch_size=bs)
+        fn = self._fns.get(bs)
+        if fn is None:
+            yconcat, freq_mat = self.yconcat, self.freq_mat
+            gather_idx, freqs64 = self.gather_idx, self.freqs
+            ynormsq = self.yconcat_norm_sq
 
+            def _impl(rx, shifts):
+                freqs = jnp.asarray(freqs64, dtype=real_dtype_for(rx.dtype))
 
-@functools.partial(jax.jit, static_argnames=("batch_size",))
-def _group_xcorr_impl(rx, shifts, yconcat, freq_mat, gather_idx, freqs,
-                      yconcat_norm_sq, *, batch_size):
-    def one_shift(shift):
-        rxconcat = rx[shift + gather_idx]
-        rx_norm_sq = jnp.sum(_abs_sq(rxconcat))
-        p = rxconcat * yconcat
-        pf = freq_mat @ p                          # tone-bank matmul (MXU)
-        mag = _abs_sq(pf)
-        i = jnp.argmax(mag)
-        xc = mag[i] / rx_norm_sq / yconcat_norm_sq
-        return xc, freqs[i]
+                def one_shift(shift):
+                    rxconcat = rx[shift + gather_idx]
+                    rx_norm_sq = jnp.sum(_abs_sq(rxconcat))
+                    p = rxconcat * yconcat
+                    pf = freq_mat @ p              # tone-bank matmul (MXU)
+                    mag = _abs_sq(pf)
+                    i = jnp.argmax(mag)
+                    xc = mag[i] / rx_norm_sq / ynormsq
+                    return xc, freqs[i]
 
-    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)
+                return _chunked_map(jax.vmap(one_shift), shifts, bs)
+
+            fn = self._fns.setdefault(bs, jax.jit(_impl))
+        return fn(rx, shifts)
 
 
 class TemplateCrossCorrelator:
@@ -246,39 +257,43 @@ class TemplateCrossCorrelator:
             raise ValueError("Templates must be 2D; 1 row per template.")
         self.input_size = int(input_size)
         self.template_len = templates.shape[1]
-        self.template_norms = jnp.asarray(
-            np.linalg.norm(templates, axis=1),
-            dtype=real_dtype_for(jnp.dtype(dtype)))
+        rdt = real_dtype_for(jnp.dtype(dtype))
+        # host numpy plan state, embedded as program constants (axon-safe)
+        self.template_norms = np.linalg.norm(templates, axis=1).astype(
+            np.dtype(rdt))
         padded = np.zeros((templates.shape[0], input_size), templates.dtype)
         padded[:, : self.template_len] = templates
-        self.templateffts_conj = jnp.asarray(
-            np.conj(np.fft.fft(padded, axis=1)), dtype=dtype)
+        self.templateffts_conj = np.conj(
+            np.fft.fft(padded, axis=1)).astype(np.dtype(dtype))
+        self._fns = {}
 
     def correlate(self, x: jnp.ndarray, return_max: bool = False):
         if x.shape[-1] != self.input_size:
             raise ValueError(f"x must be length {self.input_size}")
-        return _template_correlate(
-            x, self.templateffts_conj, self.template_norms,
-            template_len=self.template_len, return_max=bool(return_max))
+        fn = self._fns.get(bool(return_max))
+        if fn is None:
+            tfftsconj, tnorms = self.templateffts_conj, self.template_norms
+            template_len = self.template_len
 
+            def _impl(x):
+                xfft = jnp.fft.fft(x)
+                out = jnp.fft.ifft(xfft[None, :] * tfftsconj, axis=-1)
+                # rolling input energy over template_len windows
+                power = _abs_sq(x)
+                ones = jnp.ones(template_len, dtype=power.dtype)
+                moving = jnp.convolve(power, ones, mode="valid")  # (n-L+1,)
+                norms = jnp.sqrt(moving)
+                nout = out[:, : x.shape[-1] - template_len + 1] / norms[None, :]
+                nout = nout / tnorms[:, None]
+                if not return_max:
+                    return nout
+                mag = jnp.abs(nout)
+                idx = jnp.argmax(mag, axis=0)
+                best = jnp.take_along_axis(mag, idx[None, :], axis=0)[0]
+                return best, idx
 
-@functools.partial(jax.jit, static_argnames=("template_len", "return_max"))
-def _template_correlate(x, tfftsconj, tnorms, *, template_len, return_max):
-    xfft = jnp.fft.fft(x)
-    out = jnp.fft.ifft(xfft[None, :] * tfftsconj, axis=-1)
-    # rolling input energy over template_len windows
-    power = _abs_sq(x)
-    ones = jnp.ones(template_len, dtype=power.dtype)
-    moving = jnp.convolve(power, ones, mode="valid")  # (n - L + 1,)
-    norms = jnp.sqrt(moving)
-    nout = out[:, : x.shape[-1] - template_len + 1] / norms[None, :]
-    nout = nout / tnorms[:, None]
-    if not return_max:
-        return nout
-    mag = jnp.abs(nout)
-    idx = jnp.argmax(mag, axis=0)
-    best = jnp.take_along_axis(mag, idx[None, :], axis=0)[0]
-    return best, idx
+            fn = self._fns.setdefault(bool(return_max), jax.jit(_impl))
+        return fn(x)
 
 
 class GroupXcorrCZTPermutations:
@@ -310,7 +325,8 @@ class GroupXcorrCZTPermutations:
         self.fs = float(fs)
         if auto_conj:
             ygroups = np.conj(ygroups)
-        self.ygroups = jnp.asarray(ygroups, dtype=dtype)
+        # host numpy plan state, embedded as program constants (axon-safe)
+        self.ygroups = ygroups.astype(np.dtype(dtype))
         self.ygroups_energy = np.linalg.norm(ygroups, axis=1) ** 2
 
         self.plan = CZT(self.length, f1, f2, bin_width, fs, dtype=dtype)
@@ -318,9 +334,10 @@ class GroupXcorrCZTPermutations:
         phases = np.exp(-2j * np.pi * self.czt_freq[None, :]
                         * group_starts[:, None] / fs)
         # phase per *template* (indexed by its group)
-        self.template_phases = jnp.asarray(phases[ygroup_idxs], dtype=dtype)
+        self.template_phases = phases[ygroup_idxs].astype(np.dtype(dtype))
         self.xc_templates = None
         self.rx_group_norm_sq = None
+        self._fns = {}
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 8):
         """Correlate every template at every shift. Stores (T, S, K) complex
@@ -330,13 +347,31 @@ class GroupXcorrCZTPermutations:
                 rx.shape[-1] - (int(self.group_starts[-1]) + self.length) + 1)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
-        xc, rn = _group_xcorr_perms_impl(
-            rx, shifts, self.ygroups, self.template_phases,
-            jnp.asarray(self.group_starts),
-            jnp.asarray(self.ygroup_idxs),
-            m=self.length, k=self.plan.k, nfft=self.plan.nfft,
-            aa=self.plan.aa, fv=self.plan.fv, ww_tail=self.plan.ww_tail,
-            batch_size=bs)
+        fn = self._fns.get(bs)
+        if fn is None:
+            ygroups, template_phases = self.ygroups, self.template_phases
+            group_starts = self.group_starts.astype(np.int32)
+            ygroup_idxs = self.ygroup_idxs.astype(np.int32)
+            m, k, nfft = self.length, self.plan.k, self.plan.nfft
+            aa, fv, ww = self.plan.aa, self.plan.fv, self.plan.ww_tail
+
+            def _impl(rx, shifts):
+                def one_shift(shift):
+                    gslices = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(
+                            rx, (shift + s,), (m,)))(jnp.asarray(group_starts))
+                    rx_norm_sq = jnp.sum(_abs_sq(gslices), axis=-1)     # (G,)
+                    tslices = gslices[ygroup_idxs]                      # (T, m)
+                    pdt = tslices * ygroups                             # (T, m)
+                    fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
+                    g = jnp.fft.ifft(fy * fv, axis=-1)
+                    pdtczt = g[:, m - 1: m + k - 1] * ww                # (T, k)
+                    return pdtczt * template_phases, rx_norm_sq
+
+                return _chunked_map(jax.vmap(one_shift), shifts, bs)
+
+            fn = self._fns.setdefault(bs, jax.jit(_impl))
+        xc, rn = fn(rx, shifts)
         # stored transposed to (T, S, K) / (G, S) like the reference
         self.xc_templates = jnp.moveaxis(xc, 0, 1)
         self.rx_group_norm_sq = jnp.moveaxis(rn, 0, 1)
@@ -359,22 +394,3 @@ class GroupXcorrCZTPermutations:
             rxnormsq = rxnormsq + self.rx_group_norm_sq[group]
             ynormsq += float(self.ygroups_energy[tnum])
         return _abs_sq(caf_cplx) / rxnormsq[:, None] / ynormsq
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("m", "k", "nfft", "batch_size"))
-def _group_xcorr_perms_impl(rx, shifts, ygroups, template_phases,
-                            group_starts, ygroup_idxs, *, m, k, nfft, aa, fv,
-                            ww_tail, batch_size):
-    def one_shift(shift):
-        gslices = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(rx, (shift + s,), (m,)))(group_starts)
-        rx_norm_sq = jnp.sum(_abs_sq(gslices), axis=-1)       # (G,)
-        tslices = gslices[ygroup_idxs]                        # (T, m)
-        pdt = tslices * ygroups                               # (T, m)
-        fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
-        g = jnp.fft.ifft(fy * fv, axis=-1)
-        pdtczt = g[:, m - 1: m + k - 1] * ww_tail             # (T, k)
-        return pdtczt * template_phases, rx_norm_sq
-
-    return _chunked_map(jax.vmap(one_shift), shifts, batch_size)

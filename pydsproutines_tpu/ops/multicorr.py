@@ -58,6 +58,7 @@ class MultiPreambleCorrelator:
         self._ynorm = np.sum(np.abs(yf) ** 2, axis=-1).astype(
             real_dtype_for(np.dtype(dtype)))
         self.dtype = np.dtype(dtype)
+        self._fns = {}
 
     def freq_offsets(self, fsp: float) -> np.ndarray:
         """Carrier offset (Hz) of each of the C output columns, for a
@@ -81,16 +82,21 @@ class MultiPreambleCorrelator:
         nvalid = int(x.shape[-1]) - self.window + 1
         if nvalid <= 0:
             raise ValueError("input shorter than one preamble window")
-        out = _multicorr_impl(
-            x, shifts, jnp.asarray(self._yconj), jnp.asarray(self._ynorm),
-            window=self.window, l=self.l, c=self.c,
-            batch_size=int(min(batch_size, shifts.shape[0])))
-        return out
+        bs = int(min(batch_size, shifts.shape[0]))
+        fn = self._fns.get(bs)
+        if fn is None:
+            # preamble spectra are embedded as program constants by the
+            # closure — complex runtime args can't cross the axon transport
+            yconj, ynorm = self._yconj, self._ynorm
+            window, l, c = self.window, self.l, self.c
+            fn = self._fns.setdefault(bs, jax.jit(
+                lambda x, s: _multicorr_core(x, s, yconj, ynorm,
+                                             window=window, l=l, c=c,
+                                             batch_size=bs)))
+        return fn(x, shifts)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "l", "c",
-                                             "batch_size"))
-def _multicorr_impl(x, shifts, yconj, ynorm, *, window, l, c, batch_size):
+def _multicorr_core(x, shifts, yconj, ynorm, *, window, l, c, batch_size):
     rdt = real_dtype_for(x.dtype)
     spec_idx = jnp.arange(c)[:, None] + jnp.arange(l)[None, :]   # (C, L)
 
@@ -106,9 +112,9 @@ def _multicorr_impl(x, shifts, yconj, ynorm, *, window, l, c, batch_size):
         ex = csum[:, l:] - csum[:, :-l]            # (B, C) window energies
         # spectral windows: (B, C, L) then one MXU reduction over L
         sw = spec[:, spec_idx]                     # (B, C, L)
-        dots = jnp.einsum("bcl,kl->kbc", sw, yconj)
+        dots = jnp.einsum("bcl,kl->kbc", sw, jnp.asarray(yconj))
         mag = dots.real * dots.real + dots.imag * dots.imag
-        denom = ex[None, :, :] * ynorm[:, None, None]
+        denom = ex[None, :, :] * jnp.asarray(ynorm)[:, None, None]
         return jnp.where(denom > 0, mag / denom, 0.0).astype(jnp.float32)
 
     nchunks = -(-shifts.shape[0] // batch_size)

@@ -69,9 +69,15 @@ class CZT:
         aa = np.exp(-1j * np.mod(2.0 * np.pi * f1 / fs * nn, 2.0 * np.pi))
         aa = aa * ww[m + np.arange(m) - 1]
 
-        self.ww_tail = jnp.asarray(ww[m - 1: m + k - 1], dtype=self.dtype)
-        self.fv = jnp.asarray(fv, dtype=self.dtype)
-        self.aa = jnp.asarray(aa, dtype=self.dtype)
+        # Plan constants stay HOST numpy and are embedded as program constants
+        # by the per-instance jitted closure below — never transferred as
+        # runtime complex arrays (the axon TPU transport cannot move complex
+        # host<->device; embedded constants compile fine).
+        npdt = np.dtype(self.dtype)
+        self.ww_tail = ww[m - 1: m + k - 1].astype(npdt)
+        self.fv = fv.astype(npdt)
+        self.aa = aa.astype(npdt)
+        self._fn = None
 
     def freqs(self) -> np.ndarray:
         """Frequency bin centers (host-side, like CZTCached.getFreq)."""
@@ -79,14 +85,20 @@ class CZT:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """CZT along the last axis. Works for 1-D input or batched rows."""
-        return _czt_run(x, self.aa, self.fv, self.ww_tail, self.m, self.k, self.nfft)
+        if self._fn is None:
+            aa, fv, ww_tail = self.aa, self.fv, self.ww_tail
+            m, k, nfft = self.m, self.k, self.nfft
+            self._fn = jax.jit(
+                lambda xx: _czt_core(xx, aa, fv, ww_tail, m, k, nfft))
+        return self._fn(x)
 
     run = __call__
     run_many = __call__
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _czt_run(x, aa, fv, ww_tail, m, k, nfft):
+def _czt_core(x, aa, fv, ww_tail, m, k, nfft):
+    """Bluestein pipeline; ``aa``/``fv``/``ww_tail`` may be host numpy
+    constants (closed over) or traced arrays."""
     from pydsproutines_tpu.ops.fft import get_fft_plan
 
     plan = get_fft_plan(nfft, str(np.dtype(x.dtype)))
@@ -98,12 +110,21 @@ def _czt_run(x, aa, fv, ww_tail, m, k, nfft):
     return g[..., m - 1: m + k - 1] * ww_tail
 
 
+@functools.lru_cache(maxsize=64)
+def get_czt_plan(xlength: int, f1: float, f2: float, bin_width: float,
+                 fs: float, dtype_str: str = "complex64") -> CZT:
+    """Memoized CZT plan factory — reuses the per-plan jitted closures across
+    repeated one-shot calls with the same geometry."""
+    return CZT(xlength, f1, f2, bin_width, fs, dtype=jnp.dtype(dtype_str))
+
+
 def czt(x: jnp.ndarray, f1: float, f2: float, bin_width: float, fs: float,
         dtype=None) -> jnp.ndarray:
     """One-shot CZT (reference czt, spectralRoutines.py:77). For repeated use
     with the same geometry build a ``CZT`` plan instead."""
-    plan = CZT(x.shape[-1], f1, f2, bin_width, fs,
-               dtype=dtype if dtype is not None else x.dtype)
+    plan = get_czt_plan(x.shape[-1], float(f1), float(f2), float(bin_width),
+                        float(fs),
+                        str(jnp.dtype(dtype if dtype is not None else x.dtype)))
     return plan(x)
 
 
@@ -149,15 +170,23 @@ class IntegerMultipleFFT:
         i = np.arange(self.multiple, dtype=np.float64)[:, None]
         nn = np.arange(self.n, dtype=np.float64)[None, :]
         tones = np.exp(-1j * 2 * np.pi * (i / self.multiple) * (nn / self.n))
-        self.tones = jnp.asarray(tones, dtype=dtype)
+        # host numpy, embedded as a program constant (axon-safe; see CZT)
+        self.tones = tones.astype(np.dtype(dtype))
+        self._fns = {}
 
     def fft(self, x: jnp.ndarray, reorder: bool = False) -> jnp.ndarray:
         """Row i of the output is fft(x * tone_i). With ``reorder`` the rows
         are interleaved to equal jnp.fft.fft(x, n=multiple*N)."""
-        out = jnp.fft.fft(x[None, :] * self.tones, axis=-1)
-        if reorder:
-            out = out.T.reshape(-1)
-        return out
+        fn = self._fns.get(bool(reorder))
+        if fn is None:
+            tones = self.tones
+
+            def _impl(xx):
+                out = jnp.fft.fft(xx[None, :] * tones, axis=-1)
+                return out.T.reshape(-1) if reorder else out
+
+            fn = self._fns.setdefault(bool(reorder), jax.jit(_impl))
+        return fn(x)
 
     @property
     def padded_length(self) -> int:

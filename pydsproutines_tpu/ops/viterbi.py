@@ -50,12 +50,15 @@ class ViterbiDemodulator:
 
     def __init__(self, alphabet, pretransitions, pulses, omegas, up: int,
                  allowed_start_idx=np.array([0])):
-        self.alphabet = jnp.asarray(alphabet, dtype=jnp.complex64)
-        self.pretransitions = jnp.asarray(pretransitions, dtype=jnp.int32)
+        # trellis constants stay HOST numpy and are embedded as program
+        # constants in the per-instance jitted closure (the axon transport
+        # cannot transfer complex arrays host<->device)
+        self.alphabet = np.asarray(alphabet, dtype=np.complex64)
+        self.pretransitions = np.asarray(pretransitions, dtype=np.int32)
         if self.alphabet.shape[0] != self.pretransitions.shape[0]:
             raise ValueError("Number of transitions is inconsistent.")
-        self.pulses = jnp.asarray(pulses, dtype=jnp.complex64)
-        self.omegas = jnp.asarray(omegas, dtype=jnp.float32)
+        self.pulses = np.asarray(pulses, dtype=np.complex64)
+        self.omegas = np.asarray(omegas, dtype=np.float32)
         self.up = int(up)
         if self.omegas.shape[0] != self.pulses.shape[0]:
             raise ValueError("Number of sources is inconsistent.")
@@ -64,20 +67,33 @@ class ViterbiDemodulator:
             raise ValueError("pulse length must be a multiple of up")
         self.pulse_len_in_syms = self.pulselen // self.up
         self.allowed_start_idx = np.asarray(allowed_start_idx)
+        self._run_fns = {}
 
     def run(self, y: jnp.ndarray, pathlen: int):
         """Demodulate ``pathlen`` symbols from ``y``. Returns (best path
         symbol values, final path metrics, all survivor paths)."""
-        y = jnp.asarray(y, dtype=jnp.complex64)
-        a_mask = np.zeros(self.alphabet.shape[0], dtype=bool)
-        a_mask[self.allowed_start_idx] = True
-        paths, metrics = _viterbi_run(
-            y, self.alphabet, self.pretransitions, self.pulses, self.omegas,
-            jnp.asarray(a_mask), up=self.up, pulselen=self.pulselen,
-            k_syms=self.pulse_len_in_syms, pathlen=int(pathlen))
-        best = jnp.argmin(metrics)
-        best_path = self.alphabet[paths[best]]
-        return best_path, metrics, self.alphabet[paths]
+        pathlen = int(pathlen)
+        fn = self._run_fns.get(pathlen)
+        if fn is None:
+            a_mask = np.zeros(self.alphabet.shape[0], dtype=bool)
+            a_mask[self.allowed_start_idx] = True
+            alphabet, pretransitions = self.alphabet, self.pretransitions
+            pulses, omegas = self.pulses, self.omegas
+            up, pulselen = self.up, self.pulselen
+            k_syms = self.pulse_len_in_syms
+
+            def _impl(y):
+                paths, metrics = _viterbi_run(
+                    y.astype(jnp.complex64), jnp.asarray(alphabet),
+                    jnp.asarray(pretransitions), jnp.asarray(pulses),
+                    jnp.asarray(omegas), jnp.asarray(a_mask), up=up,
+                    pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
+                best = jnp.argmin(metrics)
+                vals = jnp.asarray(alphabet)[paths]
+                return vals[best], metrics, vals
+
+            fn = self._run_fns.setdefault(pathlen, jax.jit(_impl))
+        return fn(y)
 
 
 @functools.partial(jax.jit,
@@ -197,21 +213,37 @@ class BurstyViterbiDemodulator(ViterbiDemodulator):
         self.num_period_syms = self.num_burst_syms + self.num_guard_syms
 
     def run(self, y: jnp.ndarray, pathlen: int):
-        y = jnp.asarray(y, dtype=jnp.complex64)
-        a_mask = np.zeros(self.alphabet.shape[0], dtype=bool)
-        a_mask[self.allowed_start_idx] = True
-        paths, metrics = _bursty_viterbi_run(
-            y, self.alphabet, self.pretransitions, self.pulses, self.omegas,
-            jnp.asarray(a_mask), up=self.up, pulselen=self.pulselen,
-            k_syms=self.pulse_len_in_syms, pathlen=int(pathlen),
-            burst=self.num_burst_syms, guard=self.num_guard_syms)
-        best = jnp.argmin(metrics)
-        # guard-period symbols are never decided — they are silent (0), as in
-        # the reference where paths[n] stays 0 through guard periods
-        phase = jnp.arange(pathlen) % self.num_period_syms
-        active = phase < self.num_burst_syms
-        symvals = jnp.where(active[None, :], self.alphabet[paths], 0)
-        return symvals[best], metrics, symvals
+        pathlen = int(pathlen)
+        fn = self._run_fns.get(("bursty", pathlen))
+        if fn is None:
+            a_mask = np.zeros(self.alphabet.shape[0], dtype=bool)
+            a_mask[self.allowed_start_idx] = True
+            alphabet, pretransitions = self.alphabet, self.pretransitions
+            pulses, omegas = self.pulses, self.omegas
+            up, pulselen = self.up, self.pulselen
+            k_syms = self.pulse_len_in_syms
+            burst, guard = self.num_burst_syms, self.num_guard_syms
+            period = self.num_period_syms
+
+            def _impl(y):
+                paths, metrics = _bursty_viterbi_run(
+                    y.astype(jnp.complex64), jnp.asarray(alphabet),
+                    jnp.asarray(pretransitions), jnp.asarray(pulses),
+                    jnp.asarray(omegas), jnp.asarray(a_mask), up=up,
+                    pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
+                    burst=burst, guard=guard)
+                best = jnp.argmin(metrics)
+                # guard-period symbols are never decided — they are silent
+                # (0), as in the reference where paths[n] stays 0 through
+                # guard periods
+                phase = jnp.arange(pathlen) % period
+                active = phase < burst
+                symvals = jnp.where(active[None, :],
+                                    jnp.asarray(alphabet)[paths], 0)
+                return symvals[best], metrics, symvals
+
+            fn = self._run_fns.setdefault(("bursty", pathlen), jax.jit(_impl))
+        return fn(y)
 
 
 @functools.partial(

@@ -316,8 +316,10 @@ def czt_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, f_search_min: float,
     peak frequency in Hz per shift).
     """
     n = cutout.shape[-1]
-    plan = CZT(n, f_search_min, f_search_max, czt_step, fs, dtype=cutout.dtype)
-    f_search = jnp.asarray(plan.freqs(), dtype=real_dtype_for(cutout.dtype))
+    from pydsproutines_tpu.ops.spectral import get_czt_plan
+    plan = get_czt_plan(n, float(f_search_min), float(f_search_max),
+                        float(czt_step), float(fs), str(jnp.dtype(cutout.dtype)))
+    f_search_np = plan.freqs().astype(np.dtype(real_dtype_for(cutout.dtype)))
     if n > rx.shape[-1]:
         raise ValueError(f"cutout (len {n}) is longer than rx (len {rx.shape[-1]})")
     if shifts is None:
@@ -327,41 +329,51 @@ def czt_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, f_search_min: float,
         raise ValueError("shifts must be non-empty")
     batch_size = int(min(batch_size, shifts.shape[0]))
 
-    out = _czt_xcorr_impl(cutout, rx, shifts, f_search, plan.aa, plan.fv,
-                          plan.ww_tail, n=n, k=plan.k, nfft=plan.nfft,
-                          output_caf=bool(output_caf), batch_size=batch_size)
+    out = _czt_xcorr_fn(plan, f_search_np, bool(output_caf),
+                        batch_size)(cutout, rx, shifts)
     if output_caf:
-        return out, f_search
+        return out, jnp.asarray(f_search_np)
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n", "k", "nfft", "output_caf", "batch_size"))
-def _czt_xcorr_impl(cutout, rx, shifts, f_search, aa, fv, ww_tail, *, n, k,
-                    nfft, output_caf, batch_size):
-    rdt = real_dtype_for(cutout.dtype)
-    cutout_norm_sq = jnp.sum(_abs_sq(cutout)).astype(rdt)
-    cutout_norm = jnp.sqrt(cutout_norm_sq)
-    cutout_conj = jnp.conj(cutout)
+def _czt_xcorr_fn(plan: CZT, f_search_np: np.ndarray, output_caf: bool,
+                  batch_size: int):
+    """Per-plan jitted sweep closure; the complex chirp constants are embedded
+    as program constants (axon transport cannot move complex arrays)."""
+    key = ("xc", output_caf, batch_size)
+    fn = plan.__dict__.setdefault("_xc_fns", {}).get(key)
+    if fn is not None:
+        return fn
+    aa, fv, ww_tail = plan.aa, plan.fv, plan.ww_tail
+    n, k, nfft = plan.m, plan.k, plan.nfft
 
-    def czt_rows(pdt):
-        fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
-        g = jnp.fft.ifft(fy * fv, axis=-1)
-        return g[..., n - 1: n + k - 1] * ww_tail
+    def _impl(cutout, rx, shifts):
+        rdt = real_dtype_for(cutout.dtype)
+        cutout_norm_sq = jnp.sum(_abs_sq(cutout)).astype(rdt)
+        cutout_norm = jnp.sqrt(cutout_norm_sq)
+        cutout_conj = jnp.conj(cutout)
 
-    def chunk_fn(chunk):
-        slices = gather_shift_slices(rx, chunk, n)
-        rx_norm_sq = jnp.sum(_abs_sq(slices), axis=-1)
-        pdtczt = czt_rows(slices * cutout_conj)
-        mag = _abs_sq(pdtczt)
-        if output_caf:
-            return mag / rx_norm_sq[:, None] / cutout_norm_sq
-        mi = jnp.argmax(mag, axis=-1)
-        peak = jnp.take_along_axis(pdtczt, mi[:, None], axis=-1)[:, 0]
-        result = peak / jnp.sqrt(rx_norm_sq) / cutout_norm
-        return result, f_search[mi]
+        def czt_rows(pdt):
+            fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
+            g = jnp.fft.ifft(fy * fv, axis=-1)
+            return g[..., n - 1: n + k - 1] * ww_tail
 
-    return _chunked_map(chunk_fn, shifts, batch_size)
+        def chunk_fn(chunk):
+            slices = gather_shift_slices(rx, chunk, n)
+            rx_norm_sq = jnp.sum(_abs_sq(slices), axis=-1)
+            pdtczt = czt_rows(slices * cutout_conj)
+            mag = _abs_sq(pdtczt)
+            if output_caf:
+                return mag / rx_norm_sq[:, None] / cutout_norm_sq
+            mi = jnp.argmax(mag, axis=-1)
+            peak = jnp.take_along_axis(pdtczt, mi[:, None], axis=-1)[:, 0]
+            result = peak / jnp.sqrt(rx_norm_sq) / cutout_norm
+            return result, jnp.asarray(f_search_np)[mi]
+
+        return _chunked_map(chunk_fn, shifts, batch_size)
+
+    fn = plan._xc_fns.setdefault(key, jax.jit(_impl))
+    return fn
 
 
 # ---------------------------------------------------------------------------

@@ -245,3 +245,104 @@ def test_ml_demod_qpsk(key):
     # the first symbol is partially cut by the reference's [up:] slice; check
     # the remaining symbols are recovered
     assert np.array_equal(mm[1:], truth[1:])
+
+
+def _single_burst_chain(x, osr, m, amble, search_len, num_out_syms,
+                        variant="qpsk"):
+    """Reference per-burst loop: SimpleDemodulator* + amble_rotate + bit cut
+    (the batched chain's ground truth)."""
+    demod = {"qpsk": SimpleDemodulatorQPSK, "bpsk": SimpleDemodulatorBPSK}.get(
+        variant, lambda: SimpleDemodulatorPSK(m))()
+    syms = demod.demod(x, osr)
+    nsym = int(syms.shape[-1])
+    slen = min(search_len, nsym - amble.shape[-1] + 1)
+    rotated, sample, rotation, best = demod.amble_rotate(
+        jnp.asarray(amble), search=np.arange(slen))
+    start = int(sample) + amble.shape[-1]
+    cut = np.asarray(rotated)[start: start + num_out_syms]
+    bps = int(np.log2(m))
+    from pydsproutines_tpu.ops.demod import PSK_BITMAPS
+    vals = PSK_BITMAPS[m][cut]
+    bits = ((vals[:, None] >> np.arange(bps - 1, -1, -1)) & 1).reshape(-1)
+    return (np.asarray(syms), int(sample), int(rotation), int(best),
+            np.asarray(rotated), bits, len(cut))
+
+
+def test_batch_demod_qpsk_matches_per_burst_loop(key):
+    """Parity: DemodulatorBatchQPSK row b == single-burst chain on row b
+    (reference demodBatch vs per-burst demod, demodulationRoutines.py:1131)."""
+    from pydsproutines_tpu.ops.demod import DemodulatorBatchQPSK
+
+    m, osr, nsyms, B = 4, 4, 256, 6
+    amble_len, search_len, n_out = 24, 8, 64
+    ks = jax.random.split(key, B)
+    rows, ambles_ok = [], None
+    rng = np.random.default_rng(1)
+    bits_list = []
+    for b in range(B):
+        bits = np.asarray(rand_bits(ks[b], nsyms, m))
+        bits_list.append(bits)
+        syms = syms_from_bits(jnp.asarray(bits), m, dtype=jnp.complex64)
+        x = jnp.repeat(syms, osr) * np.complex64(np.exp(1j * rng.uniform(0, 2 * np.pi)))
+        noise = 0.02 * (rng.standard_normal(x.shape) + 1j * rng.standard_normal(x.shape))
+        rows.append(np.asarray(x) + noise.astype(np.complex64))
+    xbatch = jnp.asarray(np.stack(rows))
+    amble = bits_list[0][:amble_len]  # all bursts share preamble position 0
+    # per-burst ambles differ though — use each row's own true prefix
+    batcher = DemodulatorBatchQPSK()
+
+    for b in range(B):
+        amble_b = jnp.asarray(bits_list[b][:amble_len])
+        res = batcher.demod_batch(xbatch[b: b + 1], osr, amble_b,
+                                  search_start=0, search_len=search_len,
+                                  num_out_syms=n_out)
+        (syms_ref, sample_ref, rot_ref, best_ref, rotated_ref, bits_ref,
+         cnt_ref) = _single_burst_chain(
+            xbatch[b], osr, m, np.asarray(amble_b), search_len, n_out)
+        assert np.array_equal(np.asarray(res.syms[0]), syms_ref), b
+        assert int(res.best_idx[0]) == sample_ref, b
+        assert int(res.best_rotations[0]) == rot_ref, b
+        assert int(res.best_matches[0]) == best_ref, b
+        assert np.array_equal(np.asarray(res.rotated_syms[0]), rotated_ref), b
+        assert np.array_equal(np.asarray(res.bits[0][:bits_ref.size]),
+                              bits_ref), b
+
+
+def test_batch_demod_ragged_lengths(key):
+    """Per-burst lengths/masks: a short burst padded with garbage demods
+    identically to the truncated single-burst chain."""
+    from pydsproutines_tpu.ops.demod import DemodulatorBatchQPSK
+
+    m, osr, nsyms = 4, 4, 128
+    amble_len, n_out = 16, 32
+    bits = np.asarray(rand_bits(key, nsyms, m))
+    syms = syms_from_bits(jnp.asarray(bits), m, dtype=jnp.complex64)
+    x = np.asarray(jnp.repeat(syms, osr) * np.complex64(np.exp(1j * 0.7)))
+    # burst 0: full length; burst 1: only 80 symbols valid, tail is garbage
+    short_syms = 80
+    rng = np.random.default_rng(2)
+    row1 = x.copy()
+    row1[short_syms * osr:] = 10.0 * (
+        rng.standard_normal(x.size - short_syms * osr)
+        + 1j * rng.standard_normal(x.size - short_syms * osr))
+    xbatch = jnp.asarray(np.stack([x, row1]))
+    lengths = np.array([x.size, short_syms * osr])
+
+    batcher = DemodulatorBatchQPSK()
+    amble = jnp.asarray(bits[:amble_len])
+    res = batcher.demod_batch(xbatch, osr, amble, search_start=0,
+                              search_len=4, num_out_syms=n_out,
+                              lengths=lengths)
+    # row 1 must equal the single-burst chain on the TRUNCATED signal
+    (syms_ref, sample_ref, rot_ref, best_ref, rotated_ref, bits_ref,
+     cnt) = _single_burst_chain(
+        jnp.asarray(x[: short_syms * osr]), osr, m, bits[:amble_len], 4, n_out)
+    assert int(res.best_idx[1]) == sample_ref
+    assert int(res.best_rotations[1]) == rot_ref
+    assert int(res.best_matches[1]) == best_ref
+    assert np.array_equal(
+        np.asarray(res.rotated_syms[1][:short_syms]), rotated_ref[:short_syms])
+    assert np.array_equal(np.asarray(res.bits[1][:bits_ref.size]), bits_ref)
+    # bit_counts reports the truncated payload (capped at num_out_syms)
+    assert int(res.bit_counts[1]) == min(
+        n_out, short_syms - sample_ref - amble_len)

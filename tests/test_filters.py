@@ -120,3 +120,48 @@ def test_medfilt_matches_scipy(rng):
 def test_resample_factor_wizard():
     assert resample_factor_wizard(48000, 44100) == (147, 160)
     assert resample_factor_wizard(100, 200) == (2, 1)
+
+
+def test_upfirdn_polyphase_grid_matches_scipy(rng):
+    """Exhaustive (up, down, taps, n) grid incl. down > up, taps shorter than
+    up, and coprime/non-coprime factor pairs — pins the strided polyphase
+    formulation against scipy exactly (reference upfirdn.cu parity)."""
+    for up in (1, 2, 3, 5, 8):
+        for down in (1, 2, 3, 5, 7):
+            for T in (1, 4, 15, 101):
+                for n in (1, 17, 256):
+                    x = rng.standard_normal(n)
+                    h = rng.standard_normal(T)
+                    ref = sps.upfirdn(h, x, up, down)
+                    got = np.asarray(
+                        upfirdn(jnp.asarray(h), jnp.asarray(x), up, down))
+                    assert got.shape == ref.shape, (up, down, T, n)
+                    np.testing.assert_allclose(
+                        got, ref, atol=1e-5, rtol=1e-4,
+                        err_msg=str((up, down, T, n)))
+
+
+def test_upfirdn_complex_taps_and_signal(rng):
+    x = (rng.standard_normal(200)
+         + 1j * rng.standard_normal(200)).astype(np.complex64)
+    h = rng.standard_normal(31).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(upfirdn(jnp.asarray(h), jnp.asarray(x), 4, 3)),
+        sps.upfirdn(h, x, 4, 3), atol=1e-4)
+    hc = (rng.standard_normal(31)
+          + 1j * rng.standard_normal(31)).astype(np.complex64)
+    np.testing.assert_allclose(
+        np.asarray(upfirdn(jnp.asarray(hc), jnp.asarray(x), 3, 5)),
+        sps.upfirdn(hc, x, 3, 5), atol=1e-4)
+
+
+def test_medfilt_chunked_path_matches_one_shot(rng, monkeypatch):
+    """Force the streaming chunked path (long-capture memory bound) and pin
+    it to scipy."""
+    import pydsproutines_tpu.ops.filters as F
+
+    x = rng.standard_normal(40_000).astype(np.float32)
+    ref = sps.medfilt(x, 11)
+    monkeypatch.setattr(F, "_MEDFILT_ELEMS", 1 << 16)
+    got = np.asarray(F.medfilt.__wrapped__(jnp.asarray(x), 11))
+    np.testing.assert_allclose(got, ref)
