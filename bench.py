@@ -1,21 +1,36 @@
 #!/usr/bin/env python
-"""Headline benchmark: frequency-scanning FFT cross-correlation (the
-reference's north-star workload, benchmarks/README.md: 1M-sample cutout x 128
-shifts — NumPy 15.9 s, Cython/IPP 3.9 s, CuPy GPU 0.29 s).
+"""Official benchmark: one JSON line per BASELINE.json config.
 
-Runs fast_xcorr with freq scan on the real TPU chip and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Configs (BASELINE.json "configs", in order):
+  1. fft_xcorr_freqscan_1Mx128   — the reference's north-star workload
+     (benchmarks/README.md: 1M-sample cutout x 128 shifts — NumPy 15.9 s,
+     Cython/IPP 3.9 s, CuPy GPU 0.29 s). Also emitted at 10M x 128 (ref GPU
+     3 s).
+  2. fir_upfirdn_chain           — FIR filter + polyphase upfirdn resample.
+  3. wola_64ch                   — WOLA polyphase channelizer.
+  4. group_xcorr_czt             — bursty group xcorr over a CZT CAF grid
+     (ippGroupXcorrCZT workload).
+  5. qpsk_demod_batch / cp2fsk_viterbi — burst-batched QPSK demod chain
+     (eye-opening -> phase lock -> map -> preamble search -> bits) and the
+     CPFSK Viterbi trellis demod.
 
-value = effective sliding-window rate in G(sample*shift)/s; vs_baseline is
-relative to the reference's best published GPU number (1e6*128 products in
-0.29 s = 0.4414 G/s).
+vs_baseline: configs with published reference numbers (1) use them; the rest
+have no published absolutes (SURVEY.md §6), so vs_baseline is measured against
+the reference's own CPU tier re-derived in numpy/scipy ON THIS HOST at reduced
+size (the reference's benchmarks double as CPU-vs-GPU parity sweeps the same
+way, /root/reference/benchmarks/benchmark_xcorrs.py).
 
-I/O is real-valued float32 (complex formed inside jit): the axon TPU transport
-cannot transfer complex arrays.
+Timing methodology (axon transport): identical dispatches are memoized and
+block_until_ready does not wait, so every rep perturbs the input, a host fetch
+of a small real output forces completion, and device time is separated from
+the ~25 ms dispatch floor by differencing unrolled in-jit rep counts.
+I/O is real float32 planes (complex formed in-trace): the axon tunnel cannot
+transfer complex arrays.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -23,73 +38,361 @@ import time
 import numpy as np
 
 
-def main():
+R_LO, R_HI = 1, 4
+
+
+def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3):
+    """Run ``step(*args, n_reps)`` at two rep counts; return per-rep seconds.
+
+    ``step`` must force all reps to execute (perturbed inputs, unrolled) and
+    return something whose first leaf is small and real (host-fetchable).
+    """
+    def timed(nr, salt):
+        ts = []
+        for rep in range(tries):
+            t0 = time.perf_counter()
+            out = step(*args, np.int32(salt + rep), nr)
+            np.asarray(jax_tree_first(out))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    timed(r_lo, 0)  # compile + warm both programs
+    timed(r_hi, 0)
+    t_lo = timed(r_lo, 100)
+    t_hi = timed(r_hi, 100)
+    return max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
+
+
+def jax_tree_first(tree):
+    import jax
+    leaves = jax.tree_util.tree_leaves(tree)
+    leaf = leaves[0]
+    return leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf
+
+
+def emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 3),
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Config 1: frequency-scanning FFT xcorr (1M and 10M)
+# ---------------------------------------------------------------------------
+
+def bench_fft_xcorr(n, nshifts, batch, r_hi=R_HI):
     import jax
     import jax.numpy as jnp
-    import functools
-
     from pydsproutines_tpu.ops.xcorr import _fast_xcorr_impl
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    nshifts = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-
-    rxlen = n + nshifts + 16   # headroom for the rep-offset shift bases
+    rxlen = n + nshifts + 2 * r_hi * 4 + 16
     rng = np.random.default_rng(0)
     cutout_ri = rng.standard_normal((2, n), dtype=np.float32)
     rx_ri = rng.standard_normal((2, rxlen), dtype=np.float32)
 
-    @functools.partial(jax.jit, static_argnames=("batch_size", "n_reps"))
-    def step(cut_ri, r_ri, shifts, batch_size, n_reps):
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(cut_ri, r_ri, salt, n_reps):
         cut = jax.lax.complex(cut_ri[0], cut_ri[1])
         r = jax.lax.complex(r_ri[0], r_ri[1])
+        shifts = jnp.arange(nshifts) + salt % 8
 
         def one_rep(base):
             qf2, freqs = _fast_xcorr_impl(
                 cut, r, shifts + base, n=n, freqsearch=True, output_caf=False,
-                abs_result=True, batch_size=batch_size, step=1)
+                abs_result=True, batch_size=batch, step=1)
             return qf2, freqs.astype(jnp.int32)
 
-        # n_reps full sweeps at distinct shift bases inside one dispatch so
-        # device time can be separated from the fixed dispatch+fetch floor
-        # (~27 ms on the axon tunnel) by differencing rep counts.
-        return jax.lax.map(one_rep, jnp.arange(n_reps))
+        # unrolled reps at distinct shift bases: loop-invariant work (rx
+        # power prefix sum, plan constants) is CSE'd once, per-sweep work is
+        # repeated — unlike lax.map, which re-runs the invariants per rep
+        outs = [one_rep(jnp.int32(i)) for i in range(n_reps)]
+        return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *outs)
 
-    shifts = jnp.arange(nshifts)
     d_cut = jax.device_put(jnp.asarray(cutout_ri))
     d_rx = jax.device_put(jnp.asarray(rx_ri))
+    dt = rep_differenced(step, d_cut, d_rx, r_hi=r_hi)
+    return n * nshifts / dt / 1e9  # G(sample*shift)/s
 
-    # compile + warm up. NOTE: on the axon transport block_until_ready does
-    # not actually wait for remote execution, and identical dispatches are
-    # memoized — timing must force a host fetch of the (small, real) outputs
-    # and vary the input each repetition.
-    r_lo, r_hi = 1, 4
 
-    def timed(n_reps, base0):
-        ts = []
-        for rep in range(3):
-            shifts0 = shifts + base0 + rep  # distinct dispatch each rep
-            t0 = time.perf_counter()
-            out = step(d_cut, d_rx, shifts0, batch, n_reps)
-            np.asarray(out[0][0])  # host fetch forces completion
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+# ---------------------------------------------------------------------------
+# Config 2: FIR + upfirdn polyphase resample chain
+# ---------------------------------------------------------------------------
 
-    timed(r_lo, 0)  # warm both programs
-    timed(r_hi, 0)
-    t_lo = timed(r_lo, 1)
-    t_hi = timed(r_hi, 1)
-    # per-sweep device time with the constant dispatch overhead differenced out
-    dt = max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
+def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.ops.filters import lfilter_fir, upfirdn
 
-    rate = n * nshifts / dt / 1e9            # G(sample*shift)/s
-    baseline = 1_000_000 * 128 / 0.29 / 1e9  # reference GPU best: 0.4414 G/s
-    print(json.dumps({
-        "metric": f"fft_xcorr_freqscan_{n//1_000_000}Mx{nshifts}",
-        "value": round(rate, 4),
-        "unit": "Gsample-shift/s",
-        "vs_baseline": round(rate / baseline, 3),
-    }))
+    rng = np.random.default_rng(1)
+    x_ri = rng.standard_normal((2, n), dtype=np.float32)
+    h_fir = rng.standard_normal(fir_taps).astype(np.float32)
+    h_rs = rng.standard_normal(rs_taps).astype(np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(xri, salt, n_reps):
+        outs = []
+        for i in range(n_reps):
+            x = jax.lax.complex(
+                xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
+            y = lfilter_fir(jnp.asarray(h_fir), x)
+            z = upfirdn(jnp.asarray(h_rs), y, up, down)
+            outs.append(jnp.sum(jnp.abs(z)))
+        return jnp.stack(outs)
+
+    d_x = jax.device_put(jnp.asarray(x_ri))
+    dt = rep_differenced(step, d_x)
+    rate = n / dt / 1e9  # GS/s input
+
+    # CPU tier baseline (reference numpy/scipy path) at reduced size
+    import scipy.signal as sps
+    nb = n // 16
+    xb = (x_ri[0, :nb] + 1j * x_ri[1, :nb]).astype(np.complex64)
+    t0 = time.perf_counter()
+    yb = sps.lfilter(h_fir, 1.0, xb)
+    zb = sps.upfirdn(h_rs, yb, up, down)
+    cpu_rate = nb / (time.perf_counter() - t0) / 1e9
+    return rate, cpu_rate
+
+
+# ---------------------------------------------------------------------------
+# Config 3: WOLA channelizer
+# ---------------------------------------------------------------------------
+
+def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.ops.wola import wola
+
+    rng = np.random.default_rng(2)
+    x_ri = rng.standard_normal((2, n), dtype=np.float32)
+    h = rng.standard_normal(taps).astype(np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(xri, salt, n_reps):
+        outs = []
+        for i in range(n_reps):
+            x = jax.lax.complex(xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
+            outs.append(jnp.sum(jnp.abs(wola(jnp.asarray(h), x, dec, nch))))
+        return jnp.stack(outs)
+
+    d_x = jax.device_put(jnp.asarray(x_ri))
+    dt = rep_differenced(step, d_x)
+    rate = n / dt / 1e9
+
+    # CPU tier baseline: vectorized numpy WOLA fold + batched IFFT
+    nb = 1 << 19
+    xb = (x_ri[0, :nb] + 1j * x_ri[1, :nb]).astype(np.complex64)
+    t0 = time.perf_counter()
+    nprime = nb // dec
+    idx = (np.arange(nprime)[:, None] * dec - np.arange(taps)[None, :])
+    valid = idx >= 0
+    win = np.where(valid, xb[np.clip(idx, 0, nb - 1)], 0)
+    folded = (win * h[None, :]).reshape(nprime, taps // nch, nch).sum(axis=1)
+    chans = np.fft.ifft(folded, axis=-1) * nch
+    cpu_rate = nb / (time.perf_counter() - t0) / 1e9
+    del chans
+    return rate, cpu_rate
+
+
+# ---------------------------------------------------------------------------
+# Config 4: group xcorr + CZT frequency scan
+# ---------------------------------------------------------------------------
+
+def bench_group_xcorr(m=8, glen=4096, nfreq=128, nshifts=1024):
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.ops.groupxcorr import GroupXcorrCZT
+
+    fs = 1e6
+    period = 4 * glen
+    starts = np.arange(m) * period
+    lengths = np.full(m, glen)
+    span = int(starts[-1] + glen)
+    rng = np.random.default_rng(3)
+    y = (rng.standard_normal(span)
+         + 1j * rng.standard_normal(span)).astype(np.complex64)
+    rxlen = span + nshifts + 64
+    rx_ri = rng.standard_normal((2, rxlen), dtype=np.float32)
+    bw = fs / glen / 4
+    f1, f2 = -nfreq / 2 * bw, (nfreq / 2 - 1) * bw
+    gx = GroupXcorrCZT(y, starts, lengths, f1, f2, bw, fs)
+    shifts = np.arange(nshifts)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(rri, salt, n_reps):
+        outs = []
+        for i in range(n_reps):
+            rx = jax.lax.complex(rri[0] * (1.0 + 1e-7 * (salt + i)), rri[1])
+            caf, _ = gx.xcorr(rx, jnp.asarray(shifts))
+            outs.append(jnp.max(caf))
+        return jnp.stack(outs)
+
+    d_rx = jax.device_put(jnp.asarray(rx_ri))
+    dt = rep_differenced(step, d_rx)
+    rate = m * glen * nshifts / dt / 1e9  # Gsample-shift/s
+
+    # CPU tier baseline: scipy czt per group per shift (reference
+    # GroupXcorrCZT.xcorr python path) at 16 shifts, scaled
+    from scipy.signal import czt as sp_czt
+    nb_shifts = 16
+    rx = (rx_ri[0] + 1j * rx_ri[1]).astype(np.complex64)
+    ystack = np.stack([np.conj(y[s: s + glen]) for s in starts])
+    k = gx.plan.k
+    w = np.exp(-2j * np.pi * bw / fs)
+    a = np.exp(2j * np.pi * f1 / fs)
+    t0 = time.perf_counter()
+    for sh in range(nb_shifts):
+        comb = np.zeros(k, dtype=complex)
+        for g in range(m):
+            pdt = rx[sh + starts[g]: sh + starts[g] + glen] * ystack[g]
+            comb += sp_czt(pdt, k, w, a)
+        _ = np.abs(comb) ** 2
+    cpu_rate = m * glen * nb_shifts / (time.perf_counter() - t0) / 1e9
+    return rate, cpu_rate
+
+
+# ---------------------------------------------------------------------------
+# Config 5: burst-batched QPSK demod chain + CPFSK Viterbi
+# ---------------------------------------------------------------------------
+
+def bench_qpsk_demod_batch(B=256, nsyms=1024, osr=4, amble_len=32,
+                           search_len=64):
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.ops.demod import (DemodulatorBatchQPSK,
+                                             PSK_BITMAPS)
+
+    L = nsyms * osr
+    rng = np.random.default_rng(4)
+    x_ri = rng.standard_normal((2, B, L), dtype=np.float32)
+    amble = rng.integers(0, 4, amble_len).astype(np.int32)
+    d = DemodulatorBatchQPSK()
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(xri, salt, n_reps):
+        outs = []
+        for i in range(n_reps):
+            xb = jax.lax.complex(xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
+            res = d.demod_batch(xb, osr, jnp.asarray(amble),
+                                search_start=0, search_len=search_len,
+                                num_out_syms=nsyms - amble_len - search_len)
+            outs.append(jnp.sum(res.best_matches))
+        return jnp.stack(outs).astype(jnp.float32)
+
+    d_x = jax.device_put(jnp.asarray(x_ri))
+    dt = rep_differenced(step, d_x)
+    rate = B * L / dt / 1e6  # Msamples/s through the demod chain
+
+    # CPU tier baseline: reference numpy single-burst chain, 4 bursts scaled
+    t0 = time.perf_counter()
+    for b in range(4):
+        x = (x_ri[0, b] + 1j * x_ri[1, b]).astype(np.complex64)
+        x_rs = x.reshape(-1, osr)
+        eo = np.abs(x_rs).mean(axis=0)
+        xeo = x_rs[:, np.argmax(eo)]
+        reimp = xeo ** 2
+        re, im = reimp.real, reimp.imag
+        mat = np.array([[np.sum(re * re), np.sum(re * im)],
+                        [np.sum(re * im), np.sum(im * im)]])
+        _, vecs = np.linalg.eigh(mat)
+        theta = np.arctan2(vecs[1, -1], vecs[0, -1])
+        reimc = xeo * np.exp(1j * (-theta / 2 + np.pi / 4))
+        syms = np.zeros(nsyms, np.uint8)
+        gray4 = np.array([[2, 1], [3, 0]], np.uint8)
+        syms = gray4[(reimc.real > 0).astype(int), (reimc.imag > 0).astype(int)]
+        best = (-1, 0, 0)
+        for s in range(search_len):
+            win = syms[s: s + amble_len].astype(int)
+            for r in range(4):
+                matches = int(np.sum((win + r) % 4 == amble))
+                if matches > best[0]:
+                    best = (matches, s, r)
+        rot = (syms.astype(int) + best[2]) % 4
+        _ = PSK_BITMAPS[4][rot]
+    cpu_rate = 4 * L / (time.perf_counter() - t0) / 1e6
+    return rate, cpu_rate
+
+
+def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.ops.viterbi import _viterbi_run
+
+    # 2-state CP2FSK-like trellis: alphabet +-1 tones, fully connected
+    alphabet = np.array([1.0, -1.0], dtype=np.complex64)
+    pretransitions = np.array([[0, 1], [0, 1]], dtype=np.int32)
+    pulse = np.ones((1, up), dtype=np.complex64)
+    omegas = np.zeros(1, dtype=np.float32)
+    start_mask = np.array([True, True])
+    L = nsyms * up
+    rng = np.random.default_rng(5)
+    y_ri = rng.standard_normal((2, B, L), dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(yri, salt, n_reps):
+        outs = []
+        for i in range(n_reps):
+            yb = jax.lax.complex(yri[0] * (1.0 + 1e-7 * (salt + i)), yri[1])
+
+            def one(yrow):
+                paths, metrics = _viterbi_run(
+                    yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
+                    jnp.asarray(pulse), jnp.asarray(omegas),
+                    jnp.asarray(start_mask), up=up, pulselen=up, k_syms=1,
+                    pathlen=nsyms)
+                return metrics[jnp.argmin(metrics)]
+
+            outs.append(jnp.sum(jax.vmap(one)(yb)))
+        return jnp.stack(outs)
+
+    d_y = jax.device_put(jnp.asarray(y_ri))
+    dt = rep_differenced(step, d_y)
+    rate = B * nsyms / dt / 1e6  # Msymbols/s across the burst batch
+
+    # CPU tier baseline: per-symbol numpy trellis on 2 bursts, scaled
+    t0 = time.perf_counter()
+    for b in range(2):
+        y = (y_ri[0, b] + 1j * y_ri[1, b]).astype(np.complex64)
+        metrics = np.zeros(2)
+        for nsm in range(nsyms):
+            seg = y[nsm * up: (nsm + 1) * up]
+            bm = np.array([[np.sum(np.abs(seg - a) ** 2) for a in alphabet]
+                           for _ in range(2)])
+            tot = metrics[None, :] + bm
+            metrics = tot.min(axis=1)
+    cpu_rate = 2 * nsyms / (time.perf_counter() - t0) / 1e6
+    return rate, cpu_rate
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+
+    if only in (None, "xcorr1m"):
+        rate = bench_fft_xcorr(1_000_000, 128, 128)
+        emit("fft_xcorr_freqscan_1Mx128", rate, "Gsample-shift/s",
+             1_000_000 * 128 / 0.29 / 1e9)       # reference GPU best
+    if only in (None, "xcorr10m"):
+        rate = bench_fft_xcorr(10_000_000, 128, 16, r_hi=2)
+        emit("fft_xcorr_freqscan_10Mx128", rate, "Gsample-shift/s",
+             10_000_000 * 128 / 3.0 / 1e9)       # reference GPU best
+    if only in (None, "firupfirdn"):
+        rate, cpu = bench_fir_upfirdn()
+        emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu)
+    if only in (None, "wola"):
+        rate, cpu = bench_wola()
+        emit("wola_64ch_8M", rate, "GS/s", cpu)
+    if only in (None, "groupxcorr"):
+        rate, cpu = bench_group_xcorr()
+        emit("group_xcorr_czt_8x4096x128x1024", rate, "Gsample-shift/s", cpu)
+    if only in (None, "demod"):
+        rate, cpu = bench_qpsk_demod_batch()
+        emit("qpsk_demod_batch_256x4096", rate, "Msamples/s", cpu)
+    if only in (None, "viterbi"):
+        rate, cpu = bench_cp2fsk_viterbi()
+        emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu)
 
 
 if __name__ == "__main__":

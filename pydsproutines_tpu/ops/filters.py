@@ -30,6 +30,42 @@ from pydsproutines_tpu.utils.fftlen import next_fast_len
 # FIR filtering
 # ---------------------------------------------------------------------------
 
+def _conv_causal_matmul(taps: jnp.ndarray, x: jnp.ndarray,
+                        block: int = 256) -> jnp.ndarray:
+    """Causal convolution y[i] = sum_k taps[k] x[i-k], len(y) == len(x),
+    as a blocked-Toeplitz matmul.
+
+    Output blocks of ``block`` samples each contract one (W = block+T-1)-wide
+    input window against a banded (W, block) tap matrix — a batched MXU
+    matmul (the reference's filter_smtaps shared-mem kernel,
+    custom_kernels/filter.cu:9, re-shaped for the systolic array). Also the
+    robust formulation for huge 1-D signals, where a direct XLA convolution
+    at spatial width ~1e6 compiles pathologically slowly.
+    """
+    T = taps.shape[-1]
+    n = x.shape[-1]
+    C = int(block)
+    rows = -(-n // C)
+    W = C + T - 1
+    dt = jnp.result_type(taps.dtype, x.dtype)
+    xp = jnp.concatenate([
+        jnp.zeros(T - 1, dt), x.astype(dt),
+        jnp.zeros(rows * C - n + C, dt)])
+    # windows[j, t] = xp[j*C + t] via shifted reshapes (no per-row gather)
+    r = -(-W // C)
+    parts = [jax.lax.slice(xp, (i * C,), (i * C + rows * C,)).reshape(rows, C)
+             for i in range(r)]
+    win = jnp.concatenate(parts, axis=1)[:, :W]          # (rows, W)
+    # K[t, c] = taps[c + T - 1 - t] on the band, 0 elsewhere
+    t_idx = np.arange(W)[:, None]
+    c_idx = np.arange(C)[None, :]
+    k = c_idx + T - 1 - t_idx
+    mask = jnp.asarray((k >= 0) & (k < T))
+    K = jnp.where(mask, taps.astype(dt)[np.clip(k, 0, T - 1)], 0)
+    y = jnp.matmul(win, K, precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(-1)[:n]
+
+
 def _conv_full(taps: jnp.ndarray, x: jnp.ndarray, method: str) -> jnp.ndarray:
     """Full linear convolution of 1-D ``taps`` with 1-D ``x``."""
     if method == "fft":
@@ -50,8 +86,10 @@ def lfilter_fir(taps: jnp.ndarray, x: jnp.ndarray, method: str = "direct") -> jn
     """FIR filter: y[n] = sum_k taps[k] * x[n-k], output length == len(x)
     (reference cp_lfilter, filterRoutines.py:24: convolve(ftap, x)[:x.size]).
 
-    ``method``: "direct" (short taps) or "fft" (overlap in frequency domain,
-    better for long taps)."""
+    ``method``: "direct" (blocked-Toeplitz MXU matmul, short/medium taps) or
+    "fft" (overlap in frequency domain, better for very long taps)."""
+    if method == "direct":
+        return _conv_causal_matmul(taps, x)
     return _conv_full(taps, x, method)[: x.shape[-1]]
 
 
@@ -86,7 +124,7 @@ def stream_lfilter_step(taps, x, delay):
     """
     t = taps.shape[-1]
     xp = jnp.concatenate([delay, x])
-    c = jnp.convolve(xp, taps, mode="full")
+    c = _conv_causal_matmul(taps, xp)
     y = c[t: t + x.shape[-1]]
     new_delay = xp[-t:]
     return y, new_delay
@@ -138,19 +176,21 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
 
     nblocks = -(-n_out // P)
     left = Lh - 1                     # aligns xpad[b*S+t] with x[b*S+qmax-τ]
-    need = (nblocks - 1) * S + Lw
+    rr = -(-Lw // S)
+    need = (nblocks - 1) * S + rr * S
     right = max(0, need - (planes.shape[-1] + left))
     xp = jnp.pad(planes, ((0, 0), (left, right)))
-    out = jax.lax.conv_general_dilated(
-        xp[:, None, :], Kr[:, None, :], window_strides=(S,),
-        padding=[(0, 0)], dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=planes.dtype,
-        # full f32 MXU precision: filters are parity-grade ops (scipy-exact
-        # tests); default TPU conv precision is bf16
-        precision=jax.lax.Precision.HIGHEST)
-    out = out[:, :, :nblocks]                       # (rows, P, B)
-    return jnp.moveaxis(out, 1, 2).reshape(
-        planes.shape[0], nblocks * P)[:, :n_out]
+    rows = planes.shape[0]
+    # win[r, b, t] = xp[r, b*S + t] via shifted reshapes (an XLA strided conv
+    # here compiles pathologically slowly at ~1e6 widths), then one einsum:
+    # out[r, b, c] = sum_t Kr[c, t] * win[r, b, t]
+    parts = [jax.lax.slice(xp, (0, i * S), (rows, i * S + nblocks * S))
+             .reshape(rows, nblocks, S) for i in range(rr)]
+    win = jnp.concatenate(parts, axis=2)[:, :, :Lw]     # (rows, B, Lw)
+    out = jnp.einsum("rbt,ct->rbc", win, Kr,
+                     # full f32 precision: filters are parity-grade ops
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(rows, nblocks * P)[:, :n_out]
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down"))
@@ -243,8 +283,8 @@ def moving_average(x: jnp.ndarray, length: int, sum_instead: bool = False) -> jn
     ones = jnp.ones(length, dtype=real_dtype_for(x.dtype))
     squeeze = x.ndim == 1
     x2 = jnp.atleast_2d(x)
-    window = jax.vmap(lambda r: jnp.convolve(r, ones.astype(r.dtype),
-                                             mode="full"))(x2)[:, : x2.shape[-1]]
+    window = jax.vmap(
+        lambda r: _conv_causal_matmul(ones.astype(r.dtype), r))(x2)
     out = window if sum_instead else window / length
     out = out.astype(x.dtype)
     return out[0] if squeeze else out
@@ -260,7 +300,8 @@ def complex_moving_sum(x: jnp.ndarray, length: int, sum_instead: bool = True) ->
     filterRoutines.py:1206; movingComplexSum kernel writes |sum|^2,
     custom_kernels/filter.cu:436)."""
     ones = jnp.ones(length, dtype=x.dtype)
-    window = jnp.convolve(x, ones, mode="valid")  # sum over x[i:i+L]
+    # forward window sum == causal conv evaluated from index L-1 on
+    window = _conv_causal_matmul(ones, x)[length - 1:]
     if not sum_instead:
         window = window / length
     mag_sq = window.real * window.real + window.imag * window.imag

@@ -276,12 +276,14 @@ class TemplateCrossCorrelator:
             template_len = self.template_len
 
             def _impl(x):
+                from pydsproutines_tpu.ops.filters import _conv_causal_matmul
                 xfft = jnp.fft.fft(x)
                 out = jnp.fft.ifft(xfft[None, :] * tfftsconj, axis=-1)
-                # rolling input energy over template_len windows
+                # rolling input energy over template_len windows (matmul
+                # form: XLA's huge-width 1-D conv compiles pathologically)
                 power = _abs_sq(x)
                 ones = jnp.ones(template_len, dtype=power.dtype)
-                moving = jnp.convolve(power, ones, mode="valid")  # (n-L+1,)
+                moving = _conv_causal_matmul(ones, power)[template_len - 1:]
                 norms = jnp.sqrt(moving)
                 nout = out[:, : x.shape[-1] - template_len + 1] / norms[None, :]
                 nout = nout / tnorms[:, None]
