@@ -96,6 +96,42 @@ class WidebandReceiver:
         return (qf2[ipeak], ipeak, freqbins[ipeak], energy,
                 syms.astype(jnp.int32))
 
+    # -- observability --------------------------------------------------------
+    def run(self, template_ri: jnp.ndarray, rx_ri: jnp.ndarray) -> dict:
+        """One step plus a structured run summary: the metrics dict version
+        of the reference's print-based observability (SURVEY.md §5 —
+        quality metrics as first-class values)."""
+        from pydsproutines_tpu.ops.xcorr import (convert_qf2_to_eff_snr,
+                                                 select_xcorr_path)
+        qf2, ipeak, fbin, energy, syms = self.step(template_ri, rx_ri)
+        energy = np.asarray(energy)
+        n_chan_rate = int(rx_ri.shape[-1]) // self.dec
+        path, reason = select_xcorr_path(
+            self.template_len, n_chan_rate, np.complex64, True, False, True,
+            min(128, self.num_shifts), None)
+        qf2 = float(qf2)
+        best_chan = int(np.argmax(energy))
+        return {
+            "qf2_peak": qf2,
+            "eff_snr_db": float(10 * np.log10(max(
+                convert_qf2_to_eff_snr(min(qf2, 1 - 1e-9)), 1e-12))),
+            "best_shift": int(ipeak),
+            "freq_bin": int(fbin),
+            "best_channel": best_chan,
+            "channel_energy_db": (10 * np.log10(
+                np.maximum(energy, 1e-30))).round(2).tolist(),
+            "demod_syms": np.asarray(syms).tolist(),
+            "xcorr_path": path,
+            "xcorr_path_reason": reason,
+            "config": {
+                "num_channels": self.num_channels,
+                "num_taps": self.num_taps,
+                "template_len": self.template_len,
+                "num_shifts": self.num_shifts,
+                "osr": self.osr, "m": self.m,
+            },
+        }
+
     # -- convenience ----------------------------------------------------------
     def example_inputs(self, seed: int = 0):
         """Host-side example (template_ri, rx_ri) with a planted burst."""

@@ -64,6 +64,9 @@ from pydsproutines_tpu.ops.cyclostationary import (
 )
 from pydsproutines_tpu.ops.matrixprofile import MatrixProfile, matrix_profile
 from pydsproutines_tpu.ops.cancellation import cancel_signal_at_idx
+from pydsproutines_tpu.ops.masked import (multiply_only_masked_rows,
+                                          multiply_rows_based_on_mask,
+                                          multiply_masked_rows_gathered)
 from pydsproutines_tpu.ops.minmax import multichannel_minmax_scale
 from pydsproutines_tpu.ops.xcorr import (
     fast_xcorr,
@@ -84,6 +87,9 @@ from pydsproutines_tpu.ops.xcorr import (
 )
 
 __all__ = [
+    "multiply_only_masked_rows",
+    "multiply_rows_based_on_mask",
+    "multiply_masked_rows_gathered",
     "GroupXcorrCZTPermutations",
     "BurstyViterbiDemodulator",
     "music_xcorr",

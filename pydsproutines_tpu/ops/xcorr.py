@@ -121,6 +121,83 @@ def _uniform_step(shifts) -> int | None:
 # v5e: bf16 ~1e-2, bf16x3 ~1e-5, f32 ~5e-7); see ops/pallas/fft_peak.py.
 _DEFAULT_FFT_MODE = os.environ.get("PDSP_FFT_PRECISION", "bf16")
 
+import logging
+
+_log = logging.getLogger("pydsproutines_tpu.xcorr")
+
+
+def select_xcorr_path(n: int, rx_len: int, dtype, freqsearch: bool,
+                      output_caf: bool, abs_result: bool, batch_size: int,
+                      step: int | None, fft_mode: str = _DEFAULT_FFT_MODE
+                      ) -> tuple[str, str]:
+    """The compile-time routing decision of fast_xcorr, exposed for
+    observability (VERDICT: silent fused-path fallbacks). Returns
+    (path, reason), where path is one of:
+
+      "dot"        no frequency search: plain sliding dot products
+      "caf"        full CAF output: batched plan FFT, no peak fusion
+      "fused"      single-kernel Pallas pipeline (modulate -> 2-stage DFT ->
+                   |.|^2 -> argmax all in VMEM) — the fast path
+      "planes"     multi-stage bf16-planes pipeline with the fused last-stage
+                   peak kernel (big composite n, e.g. 10M)
+      "peak-kernel" chunked gather + fused last-stage Pallas peak kernel
+      "permuted"   chunked gather + permuted-spectrum argmax (no Pallas)
+      "naive"      jnp.fft.fft fallback (non-viable plan sizes)
+
+    ``reason`` explains why faster paths were skipped. fast_xcorr logs this
+    at DEBUG, and at WARNING when a fused plan exists for n but the sweep's
+    (batch, step) geometry silently disqualifies it."""
+    from pydsproutines_tpu.ops.fft import get_fft_plan
+
+    if not freqsearch:
+        return "dot", "freqsearch=False"
+    if output_caf:
+        return "caf", "full CAF output requested (no peak fusion possible)"
+    if not abs_result:
+        reason = "abs_result=False keeps complex peaks (no |.|^2 fusion)"
+    elif np.dtype(dtype) != np.dtype(np.complex64):
+        reason = f"dtype {np.dtype(dtype)} is the parity tier (complex64 " \
+                 f"engages the fused kernels)"
+    elif n * 1024 < rx_len:
+        reason = "window/total ratio too small for the cumsum energy path"
+    else:
+        reason = ""
+    fft_plan = get_fft_plan(n, str(np.dtype(dtype)))
+    if not reason:
+        if step is not None:
+            from pydsproutines_tpu.ops.pallas.fused_xcorr import (
+                get_fused_plan)
+            plan = get_fused_plan(n, batch_size, step, fft_mode)
+            if plan.viable:
+                return "fused", ""
+            # diagnose why: a viable n whose sweep geometry disqualifies it
+            # is the silent-fallback case worth warning about
+            from pydsproutines_tpu.ops.fft import best_two_factor
+            two = best_two_factor(n)
+            if two is not None and n >= 4096:
+                halo = (batch_size - 1) * step
+                if halo > two[1]:
+                    reason = (f"fused plan exists for n={n} but batch*step "
+                              f"halo {halo} exceeds n2={two[1]} — reduce "
+                              f"batch_size (<= {two[1] // step + 1})")
+                else:
+                    reason = (f"fused plan for n={n} does not fit VMEM at "
+                              f"batch={batch_size}, mode={fft_mode}")
+            else:
+                reason = f"n={n} has no two-factor split (fused kernel n/a)"
+        else:
+            reason = "shifts are not a uniform progression"
+        if (fft_plan.viable and len(fft_plan.factors) >= 3
+                and fft_mode == "bf16" and fft_plan.peak_viable(fft_mode)):
+            return "planes", reason
+    if fft_plan.viable and np.dtype(dtype) == np.dtype(np.complex64) \
+            and abs_result and fft_plan.peak_viable(fft_mode):
+        return "peak-kernel", reason
+    if fft_plan.viable:
+        return "permuted", reason
+    return "naive", (reason + "; " if reason else "") + \
+        f"no viable matmul-FFT plan for n={n}"
+
 
 @functools.partial(
     jax.jit,
@@ -145,30 +222,34 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         power_cumsum = jnp.concatenate([
             jnp.zeros(1, rdt), jnp.cumsum(_abs_sq(rx).astype(rdt))])
 
+    # routing decision shared with select_xcorr_path (the observability
+    # surface): every condition below is compile-time static
+    path, _ = select_xcorr_path(n, int(rx.shape[-1]), cutout.dtype,
+                                freqsearch, output_caf, abs_result,
+                                batch_size, step, fft_mode)
+
     # single-kernel Pallas CAF peak search: the whole modulate -> two-stage
     # DFT -> |.|^2 -> argmax pipeline stays in VMEM; only (max, bin) scalars
     # come back (ops/pallas/fused_xcorr.py). Engages for uniform-step shift
     # sweeps on two-factor sizes at complex64.
-    if (freqsearch and not output_caf and abs_result and step is not None
-            and cutout.dtype == jnp.complex64 and use_cumsum):
+    if path == "fused":
         from pydsproutines_tpu.ops.pallas.fused_xcorr import (
             fused_freq_scan_peak, get_fused_plan)
         plan = get_fused_plan(n, batch_size, step, fft_mode)
-        if plan.viable:
-            k = shifts.shape[0]
-            nchunks = -(-k // batch_size)
-            # padded tail shifts of the last chunk (and the window build's
-            # extra n2-row lookahead) may run past the caller's validated
-            # range; cover them explicitly
-            rxp = jnp.pad(rx, (0, batch_size * step + plan.n2 + 128))
-            maxv, bins = fused_freq_scan_peak(cutout_conj, rxp, shifts[0],
-                                              nchunks, plan,
-                                              interpret=interpret)
-            maxv = maxv.reshape(-1)[:k]
-            bins = bins.reshape(-1)[:k]
-            rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
-            return (maxv / cutout_norm_sq / rx_norm_sq,
-                    bins.astype(jnp.uint32))
+        k = shifts.shape[0]
+        nchunks = -(-k // batch_size)
+        # padded tail shifts of the last chunk (and the window build's
+        # extra n2-row lookahead) may run past the caller's validated
+        # range; cover them explicitly
+        rxp = jnp.pad(rx, (0, batch_size * step + plan.n2 + 128))
+        maxv, bins = fused_freq_scan_peak(cutout_conj, rxp, shifts[0],
+                                          nchunks, plan,
+                                          interpret=interpret)
+        maxv = maxv.reshape(-1)[:k]
+        bins = bins.reshape(-1)[:k]
+        rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
+        return (maxv / cutout_norm_sq / rx_norm_sq,
+                bins.astype(jnp.uint32))
 
     # multi-stage plans (big composite n, e.g. 10M = 200*200*250): per-shift
     # planes pipeline. The batched slice gather dominates at this scale
@@ -177,10 +258,7 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
     # inter-stage intermediates are stored as bf16 planes (half the HBM
     # traffic; the MXU consumes bf16 in this mode regardless) and the last
     # stage + |.|^2 + argmax fuse in the Pallas kernel.
-    if (freqsearch and not output_caf and abs_result and use_cumsum
-            and cutout.dtype == jnp.complex64 and fft_plan.viable
-            and len(fft_plan.factors) >= 3 and fft_mode == "bf16"
-            and fft_plan.peak_viable(fft_mode)):
+    if path == "planes":
         # everything loop-invariant is materialized OUTSIDE the shift map:
         # the (possibly device-generated) stage/twiddle planes, and the rx /
         # template planes pre-cast to the bf16 storage dtype (halves the
@@ -294,6 +372,18 @@ def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
     except TypeError:
         pass  # traced shifts: caller must guarantee range
     batch_size = int(min(batch_size, shifts.shape[0]))
+    path, reason = select_xcorr_path(
+        int(cutout.shape[-1]), int(rx.shape[-1]), cutout.dtype,
+        bool(freqsearch), bool(output_caf), bool(abs_result), batch_size,
+        step, precision or _DEFAULT_FFT_MODE)
+    if reason.startswith("fused plan"):
+        # a fused plan exists for this n but the sweep geometry silently
+        # disqualified it — the one fallback users keep hitting unknowingly
+        _log.warning("fast_xcorr n=%d: %s path (%s)",
+                     int(cutout.shape[-1]), path, reason)
+    else:
+        _log.debug("fast_xcorr n=%d: %s path%s", int(cutout.shape[-1]), path,
+                   f" ({reason})" if reason else "")
     return _fast_xcorr_impl(
         cutout, rx, shifts, n=cutout.shape[-1], freqsearch=bool(freqsearch),
         output_caf=bool(output_caf), abs_result=bool(abs_result),

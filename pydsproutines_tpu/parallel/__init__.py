@@ -11,7 +11,11 @@ collectives (ppermute halo exchange, psum/pmax reductions) instead of threads.
 from pydsproutines_tpu.parallel.mesh import make_mesh, default_mesh
 from pydsproutines_tpu.parallel.xcorr import sharded_fast_xcorr, sharded_caf_peak
 from pydsproutines_tpu.parallel.filters import sharded_lfilter
-from pydsproutines_tpu.parallel.wola import sharded_wola
+from pydsproutines_tpu.parallel.wola import sharded_wola, sharded_multichannel_wola
+from pydsproutines_tpu.parallel.groupxcorr import (
+    sharded_group_xcorr_czt, sharded_group_xcorr_fft,
+    sharded_group_xcorr_peak)
+from pydsproutines_tpu.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -20,4 +24,9 @@ __all__ = [
     "sharded_caf_peak",
     "sharded_lfilter",
     "sharded_wola",
+    "sharded_multichannel_wola",
+    "sharded_group_xcorr_czt",
+    "sharded_group_xcorr_fft",
+    "sharded_group_xcorr_peak",
+    "multihost",
 ]

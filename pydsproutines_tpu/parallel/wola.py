@@ -55,3 +55,29 @@ def sharded_wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
                                out_specs=P(axis), check_vma=False))
     return fn(f_tap, x)
+
+
+def sharded_multichannel_wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int,
+                              n: int, mesh: jax.sharding.Mesh,
+                              axis: str = "dsp") -> jnp.ndarray:
+    """Channelize a (channels, len) stack of independent captures with the
+    CHANNEL axis sharded over ``mesh[axis]`` — the mesh form of the
+    reference's channel-striped threading (one thread per outer channel,
+    /root/reference/multiChannelWola.c:79). No halo: channels are
+    independent, so there is zero inter-device traffic.
+
+    Returns (channels, len//dec, n), equal to vmapping ops.wola.wola over
+    rows. Combine with time sharding by using a 2-D mesh: channels on one
+    axis (this function), time blocks on the other (sharded_wola)."""
+    ndev = mesh.shape[axis]
+    if x.ndim != 2:
+        raise ValueError("x must be (channels, len)")
+    if x.shape[0] % ndev != 0:
+        raise ValueError("channel count must divide evenly over the mesh axis")
+
+    def local(tp, xl):
+        return jax.vmap(lambda row: wola(tp, row, dec, n))(xl)
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                               out_specs=P(axis), check_vma=False))
+    return fn(f_tap, x)

@@ -11,6 +11,12 @@ from pydsproutines_tpu.viz.plots import (
     plot_caf_heatmap,
     plot_specgram,
     plot_filter_response,
+    plot_amp_time_channels,
+    plot_channel_heatmap,
+    plot_surface,
+    plot_caf_surface,
+    plot_freqz,
+    plot_trajectory_2d,
 )
 
 __all__ = [
@@ -21,4 +27,10 @@ __all__ = [
     "plot_caf_heatmap",
     "plot_specgram",
     "plot_filter_response",
+    "plot_amp_time_channels",
+    "plot_channel_heatmap",
+    "plot_surface",
+    "plot_caf_surface",
+    "plot_freqz",
+    "plot_trajectory_2d",
 ]

@@ -158,3 +158,150 @@ def plot_filter_response(taps, fs: float = 1.0, worN: int = 4096, ax=None):
     ax.set_xlabel("Frequency (Hz)")
     ax.set_ylabel("Magnitude (dB)")
     return fig, ax
+
+
+def plot_amp_time_channels(channels, chnl_fs: float = 1.0,
+                           equal_y_scale: bool = False, fig=None):
+    """Stacked per-channel |x| traces with a shared time axis — the channel
+    grid view of a WOLA output (reference pgPlotAmpTimeChannels,
+    plotRoutines.py:581; headless matplotlib here).
+
+    ``channels`` is (time, num_channels) as returned by ops.wola.wola.
+    Returns (fig, list of axes), channels stacked top (last) to bottom
+    (first) like the reference."""
+    plt = _mpl()
+    ch = _np(channels)
+    nch = ch.shape[1]
+    if fig is None:
+        fig, axes = plt.subplots(nch, 1, sharex=True,
+                                 figsize=(8, max(4, 1.1 * nch)))
+    else:
+        axes = fig.subplots(nch, 1, sharex=True)
+    axes = np.atleast_1d(axes)
+    t = np.arange(ch.shape[0]) / chnl_fs
+    maxamp = float(np.max(np.abs(ch))) if equal_y_scale else None
+    for i, ax in enumerate(axes):
+        c = nch - 1 - i
+        ax.plot(t, np.abs(ch[:, c]), lw=0.7)
+        ax.set_ylabel(f"ch {c}", rotation=0, ha="right", va="center")
+        if equal_y_scale:
+            ax.set_ylim(0, maxamp)
+    axes[-1].set_xlabel("time (s)")
+    return fig, list(axes)
+
+
+def plot_channel_heatmap(channels, chnl_fs: float = 1.0, fc: float = 0.0,
+                         db: bool = True, ax=None):
+    """Time x channel-frequency power heatmap of a channelizer output — the
+    dense alternative to the stacked channel grid (reference heatmap usage,
+    plotRoutines.py:180 plotHeatmap / BurstDetector.pgplot overview)."""
+    plt = _mpl()
+    ch = _np(channels)
+    power = np.abs(ch) ** 2
+    if db:
+        power = 10 * np.log10(np.maximum(power, 1e-30))
+    # channels in FFT bin order -> center the frequency axis
+    nch = ch.shape[1]
+    order = np.fft.fftshift(np.arange(nch))
+    freqs = fc + (np.arange(nch) - nch // 2) * chnl_fs
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    extent = [freqs[0] - chnl_fs / 2, freqs[-1] + chnl_fs / 2,
+              0, ch.shape[0] / chnl_fs]
+    ax.imshow(power[:, order], aspect="auto", origin="lower", extent=extent)
+    ax.set_xlabel("frequency (Hz)")
+    ax.set_ylabel("time (s)")
+    return fig, ax
+
+
+def plot_surface(xm, ym, z, cmap: str = "coolwarm", ax=None):
+    """3-D surface (reference plotSurface, plotRoutines.py:148): xm/ym are
+    meshgrid matrices, z the surface values — e.g. a (shift, freq) CAF."""
+    plt = _mpl()
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    else:
+        fig = ax.figure
+    ax.plot_surface(_np(xm), _np(ym), _np(z), cmap=cmap)
+    return fig, ax
+
+
+def plot_caf_surface(caf, shifts=None, freqs=None, cmap: str = "coolwarm",
+                     ax=None):
+    """3-D CAF surface over (shift, freq) — the surface view of
+    plot_caf_heatmap (reference pgPlotSurface usage on CAF grids,
+    plotRoutines.py:105)."""
+    caf = _np(caf)
+    s = _np(shifts) if shifts is not None else np.arange(caf.shape[0])
+    f = _np(freqs) if freqs is not None else np.arange(caf.shape[1])
+    fm, sm = np.meshgrid(f, s)
+    fig, ax = plot_surface(sm, fm, caf, cmap=cmap, ax=ax)
+    ax.set_xlabel("shift")
+    ax.set_ylabel("freq")
+    ax.set_zlabel("QF$^2$")
+    return fig, ax
+
+
+def plot_freqz(taps, cutoff: float | None = None, show_phase: bool = False,
+               fig=None):
+    """Filter response(s) for one or more tap vectors — the freqz cascade
+    view (reference plotFreqz, plotRoutines.py:696): amplitude in dB, shared
+    normalized-frequency axis, optional unwrapped phase row, optional cutoff
+    marker."""
+    import scipy.signal as sps
+    plt = _mpl()
+    if not isinstance(taps, (list, tuple)):
+        taps = [taps]
+    nrows = 2 if show_phase else 1
+    if fig is None:
+        fig, ax = plt.subplots(nrows, 1, sharex=True)
+    else:
+        ax = fig.subplots(nrows, 1, sharex=True)
+    ax = np.atleast_1d(ax)
+    aax = ax[0]
+    pax = ax[1] if show_phase else None
+    for i, vt in enumerate(taps):
+        vt = _np(vt)
+        w, h = sps.freqz(vt, 1, max(int(vt.size), 512))
+        label = f"{i}: {vt.size} taps"
+        aax.plot(w / np.pi, 20 * np.log10(np.maximum(np.abs(h), 1e-12)),
+                 label=label)
+        if show_phase:
+            pax.plot(w / np.pi, np.unwrap(np.angle(h)), label=label)
+    if cutoff is not None:
+        aax.axvline(cutoff, color="r", ls="--", lw=0.8)
+    aax.set_ylabel("amplitude (dB)")
+    aax.legend(fontsize="small")
+    if show_phase:
+        pax.set_ylabel("phase (rad)")
+        pax.set_xlabel("normalized frequency (x pi rad/sample)")
+    else:
+        aax.set_xlabel("normalized frequency (x pi rad/sample)")
+    return fig, ax
+
+
+def plot_trajectory_2d(r_x, r_xdot=None, fmt: str = "b.",
+                       quiver_scale: float | None = None, ax=None):
+    """2-D trajectory with optional velocity quivers (reference
+    plotTrajectory2d, plotRoutines.py:608)."""
+    plt = _mpl()
+    r_x = _np(r_x)
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    ax.plot(r_x[:, 0], r_x[:, 1], fmt)
+    if r_xdot is not None:
+        r_xdot = _np(r_xdot)
+        if quiver_scale is None:
+            quiver_scale = float(np.mean(np.linalg.norm(
+                np.diff(r_x, axis=0), axis=1)))
+        normed = r_xdot / np.linalg.norm(r_xdot, axis=1)[:, None]
+        ax.quiver(r_x[:, 0], r_x[:, 1], normed[:, 0] * quiver_scale,
+                  normed[:, 1] * quiver_scale, scale_units="xy",
+                  angles="xy", scale=1)
+    ax.axis("equal")
+    return fig, ax
