@@ -146,7 +146,9 @@ if __name__ == "__main__":
         ("folded tw [500,125,160] B=2", (500, 125, 160), True, 2),
         ("folded tw [320,250,125] B=2", (320, 250, 125), True, 2),
     ]
-    for name, factors, fold, B in cases:
+    sel = [int(a) for a in sys.argv[1:]] or list(range(len(cases)))
+    for idx in sel:
+        name, factors, fold, B = cases[idx]
         try:
             run = pipeline(factors, fold, B)
             t = timed(run, rxr, rxi, ccr, cci, r_lo=1, r_hi=3)

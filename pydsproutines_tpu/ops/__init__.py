@@ -56,7 +56,8 @@ from pydsproutines_tpu.ops.demod import (
     ml_demod_qpsk,
 )
 from pydsproutines_tpu.ops.viterbi import ViterbiDemodulator, BurstyViterbiDemodulator
-from pydsproutines_tpu.ops.music import MUSIC, CAPON, ESPRIT, music_alg, music_xcorr
+from pydsproutines_tpu.ops.music import (MUSIC, CAPON, ESPRIT, music_alg,
+                                          music_xcorr, music_xcorr_device)
 from pydsproutines_tpu.ops.cyclostationary import (
     PSKOrderDetector,
     estimate_baud,
@@ -93,6 +94,7 @@ __all__ = [
     "GroupXcorrCZTPermutations",
     "BurstyViterbiDemodulator",
     "music_xcorr",
+    "music_xcorr_device",
     "GroupXcorr",
     "GroupXcorrCZT",
     "GroupXcorrFFT",

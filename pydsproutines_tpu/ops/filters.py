@@ -156,7 +156,7 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
     """
     g = math.gcd(up, down)
     P = up // g                       # outputs per phase period
-    S = down // g                     # input stride per output block
+    S = down // g                     # input samples per phase period
     T = taps_r.shape[-1]
     Lh = -(-T // up)                  # taps per polyphase branch
     hpad = jnp.zeros(Lh * up, taps_r.dtype).at[:T].set(taps_r)
@@ -167,30 +167,44 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
     qc_c = (c * down) // up           # per-channel input offset (monotone)
     qmax = int(qc_c[-1])
     Lw = Lh + qmax
-    # widened per-channel kernels: K[c, qmax - qc_c + l] = Hp[p_c, l]
-    K = jnp.zeros((P, Lw), taps_r.dtype)
-    for ci in range(P):
-        off = qmax - int(qc_c[ci])
-        K = K.at[ci, off: off + Lh].set(Hp[p_c[ci]])
-    Kr = K[:, ::-1]                   # correlation (XLA conv) ordering
 
-    nblocks = -(-n_out // P)
-    left = Lh - 1                     # aligns xpad[b*S+t] with x[b*S+qmax-τ]
-    rr = -(-Lw // S)
-    need = (nblocks - 1) * S + rr * S
+    # group Gp phase periods per output block so the matmul's output lane
+    # dim is ~256 (the raw per-period form has only P lanes — at up=5 that
+    # is a 5-wide minor axis, which pads to 128 and runs bandwidth-bound at
+    # <5% lane utilization; measured 60+ ms for 4M samples on v5e).
+    # Derivation: out[b*Gp*P + g*P + c] = sum_l Hp[p_c, l] * x[q - l] with
+    # q = b*Gp*S + g*S + qc_c (exact: (Gp*P*down) % up == 0), so one
+    # (rows, W) window per block against a banded (W, Gp*P) tap matrix.
+    gp = max(1, int(np.ceil(192 / P)))
+    cols = gp * P                     # outputs per block
+    W = (gp - 1) * S + Lw             # window width per block
+    # static index map (numpy), traced values (taps): K built by one scatter
+    gi, ci, li = np.meshgrid(np.arange(gp), np.arange(P), np.arange(Lh),
+                             indexing="ij")
+    t_idx = gi * S + qc_c[ci] + Lh - 1 - li       # t = g*S + qc_c + Lh-1 - l
+    col_idx = gi * P + ci
+    vals = Hp[jnp.asarray(p_c[ci].ravel()), jnp.asarray(li.ravel())]
+    Kj = jnp.zeros((W, cols), taps_r.dtype).at[
+        jnp.asarray(t_idx.ravel()), jnp.asarray(col_idx.ravel())].set(vals)
+
+    nblocks = -(-n_out // cols)
+    left = Lh - 1                     # aligns xp[b*Gp*S + t] with x[q - l]
+    stride = gp * S
+    rr = -(-W // stride)
+    need = (nblocks - 1) * stride + rr * stride
     right = max(0, need - (planes.shape[-1] + left))
     xp = jnp.pad(planes, ((0, 0), (left, right)))
     rows = planes.shape[0]
-    # win[r, b, t] = xp[r, b*S + t] via shifted reshapes (an XLA strided conv
-    # here compiles pathologically slowly at ~1e6 widths), then one einsum:
-    # out[r, b, c] = sum_t Kr[c, t] * win[r, b, t]
-    parts = [jax.lax.slice(xp, (0, i * S), (rows, i * S + nblocks * S))
-             .reshape(rows, nblocks, S) for i in range(rr)]
-    win = jnp.concatenate(parts, axis=2)[:, :, :Lw]     # (rows, B, Lw)
-    out = jnp.einsum("rbt,ct->rbc", win, Kr,
+    # win[r, b, t] = xp[r, b*Gp*S + t] via shifted reshapes (an XLA strided
+    # conv here compiles pathologically slowly at ~1e6 widths)
+    parts = [jax.lax.slice(xp, (0, i * stride),
+                           (rows, i * stride + nblocks * stride))
+             .reshape(rows, nblocks, stride) for i in range(rr)]
+    win = jnp.concatenate(parts, axis=2)[:, :, :W]      # (rows, B, W)
+    out = jnp.einsum("rbt,tc->rbc", win, Kj,
                      # full f32 precision: filters are parity-grade ops
                      precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(rows, nblocks * P)[:, :n_out]
+    return out.reshape(rows, nblocks * cols)[:, :n_out]
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down"))

@@ -219,3 +219,87 @@ def music_xcorr(cutout, rx, f_search, ftap, fs: float, dsr: int, plist,
         for k, p in enumerate(plist):
             resultsgrid[int(p)][i, :] = f[k]
     return resultsgrid
+
+
+def _device_cov_fn(n: int, taps_len: int, dsr: int, rows: int,
+                   num_shifts: int, fwd_bwd: bool):
+    """Jitted batched modulate->filter->polyphase->covariance for music_xcorr:
+    everything per shift EXCEPT the small-matrix SVD runs on the TPU in one
+    program; only (num_shifts, rows, rows) covariances come back."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def impl(cutout_conj, rx, shifts, ftap):
+        def one_shift(s):
+            pdt = jax.lax.dynamic_slice(rx, (s,), (n,)) * cutout_conj
+            # causal FIR (scipy lfilter semantics): y[i] = sum_k h[k] pdt[i-k]
+            from pydsproutines_tpu.ops.filters import _conv_causal_matmul
+            pdtfilt = _conv_causal_matmul(ftap.astype(pdt.dtype), pdt)
+            # dsr polyphase streams y_k = pdtfilt[taps_len//2 + k :: dsr],
+            # each contributing sliding snapshot windows (jump=1); the
+            # covariance over all phases is one accumulated outer product:
+            # C = sum_k sum_j w_kj w_kj^H with w_kj = y_k[j : j+rows]
+            start = taps_len // 2
+            avail = (n - start) // dsr
+            cols = avail - rows + 1
+
+            def phase_cov(k):
+                # every phase has exactly `avail` samples when (n - start)
+                # is a dsr multiple (parity precondition with the numpy path)
+                y = jax.lax.dynamic_slice(pdtfilt, (start + k,),
+                                          (n - start - (dsr - 1),))[::dsr][:avail]
+                idx = jnp.arange(rows)[:, None] + jnp.arange(cols)[None, :]
+                xs = y[idx]                     # (rows, cols)
+                return xs @ xs.conj().T
+
+            c = jax.lax.map(phase_cov, jnp.arange(dsr)).sum(axis=0)
+            c = c / (dsr * cols)
+            if fwd_bwd:
+                c = 0.5 * (c + jnp.flip(c, (0, 1)).T)
+            return c
+
+        return jax.lax.map(one_shift, shifts)
+
+    return impl
+
+
+def music_xcorr_device(cutout, rx, f_search, ftap, fs: float, dsr: int,
+                       plist, musicrows: int = 130, shifts=None,
+                       use_signal_as_numerator: bool = True):
+    """music_xcorr with the per-shift heavy lifting (modulate, FIR,
+    polyphase downsample, snapshot covariance) batched on device; only the
+    (rows, rows) covariance eigendecompositions run on host (no complex SVD
+    on TPU). Matches music_xcorr's output grid.
+
+    Reference: musicXcorr (/root/reference/xcorrRoutines.py:378), which loops
+    shifts in python and filters with scipy per shift.
+    """
+    import jax.numpy as jnp
+
+    cutout = np.asarray(cutout)
+    rx_np = np.asarray(rx)
+    ftap = np.asarray(ftap)
+    if shifts is None:
+        shifts = np.arange(len(rx_np) - len(cutout) + 1)
+    shifts = np.asarray(shifts)
+    plist = np.atleast_1d(plist)
+    f_search = np.asarray(f_search)
+    fs_ds = fs / dsr
+
+    fn = _device_cov_fn(len(cutout), len(ftap), int(dsr), int(musicrows),
+                        len(shifts), fwd_bwd=True)
+    covs = np.asarray(fn(jnp.asarray(np.conj(cutout)), jnp.asarray(rx_np),
+                         jnp.asarray(shifts.astype(np.int32)),
+                         jnp.asarray(ftap)))
+
+    resultsgrid = {int(p): np.zeros((len(shifts), len(f_search)))
+                   for p in plist}
+    for i in range(len(shifts)):
+        u, s, vh = np.linalg.svd(covs[i])
+        for p in plist:
+            resultsgrid[int(p)][i, :] = _pseudospectrum(
+                u, s, f_search / fs_ds, musicrows, int(p),
+                use_signal_as_numerator)
+    return resultsgrid
