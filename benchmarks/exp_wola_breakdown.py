@@ -111,13 +111,14 @@ if __name__ == "__main__":
                 b_i = w_i - t_i
                 valid = (b_i >= 0) & (b_i < B)
                 bsel = np.clip(B - 1 - b_i, 0, B - 1)          # (kblk, w)
-                Ka = jnp.where(jnp.asarray(valid),
+                Ka = jnp.where(jnp.asarray(valid)[..., None],
                                hk[jnp.asarray(bsel)], 0.0)     # (kblk, w, nch)
                 Ka = jnp.moveaxis(Ka, -1, 0)                   # (nch, kblk, w)
 
                 def fold(p):
-                    pp = jnp.concatenate([pad, p])             # (T+B-1, nch)
                     rr = -(-w // kblk)
+                    padr = jnp.zeros((rr * kblk, nch), p.dtype)
+                    pp = jnp.concatenate([pad, p, padr])       # right headroom
                     parts = [jax.lax.slice(
                         pp, (i * kblk, 0), (i * kblk + nblk * kblk, nch))
                         .reshape(nblk, kblk, nch) for i in range(rr)]
