@@ -84,13 +84,13 @@ if __name__ == "__main__":
     sel = sys.argv[1:] or ["a", "b"]
     for tok in sel:
         if tok == "a":
-            t = timed(prod, rxr, rxi, ccr, cci)
+            t = timed(prod, rxr, rxi, ccr, cci, r_lo=8, r_hi=40)
             print(f"prod call_peak_planes (hoisted mats): {t*1e3:7.2f} ms/shift")
         elif tok == "b":
-            t = timed(prod_const, rxr, rxi, ccr, cci)
+            t = timed(prod_const, rxr, rxi, ccr, cci, r_lo=8, r_hi=40)
             print(f"prod call_peak_planes (const mats)  : {t*1e3:7.2f} ms/shift")
         elif tok == "c":
-            t = timed(full, rxr, rxi, ccr, cci)
+            t = timed(full, rxr, rxi, ccr, cci, r_lo=1, r_hi=4)
             print(f"full _fast_xcorr_impl 16-shift sweep: {t*1e3:7.2f} ms/sweep"
                   f" = {t/16*1e3:.2f} ms/shift")
         sys.stdout.flush()

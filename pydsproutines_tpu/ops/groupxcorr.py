@@ -108,9 +108,10 @@ class GroupXcorrCZT:
                     slices = jnp.where(mask, slices, 0)
                     rx_norm_sq = jnp.sum(_abs_sq(slices))
                     pdt = slices * ystack                      # (G, m)
-                    fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
-                    g = jnp.fft.ifft(fy * fv, axis=-1)
-                    pdtczt = g[:, m - 1: m + k - 1] * ww       # (G, k)
+                    # Bluestein via the matmul-FFT plan (MXU) rather than
+                    # XLA's batched odd-size FFT
+                    from pydsproutines_tpu.ops.spectral import _czt_core
+                    pdtczt = _czt_core(pdt, aa, fv, ww, m, k, nfft)  # (G, k)
                     combined = jnp.sum(pdtczt * phases, axis=0)
                     return _abs_sq(combined) / rx_norm_sq / ynormsq
 
@@ -365,9 +366,8 @@ class GroupXcorrCZTPermutations:
                     rx_norm_sq = jnp.sum(_abs_sq(gslices), axis=-1)     # (G,)
                     tslices = gslices[ygroup_idxs]                      # (T, m)
                     pdt = tslices * ygroups                             # (T, m)
-                    fy = jnp.fft.fft(pdt * aa, n=nfft, axis=-1)
-                    g = jnp.fft.ifft(fy * fv, axis=-1)
-                    pdtczt = g[:, m - 1: m + k - 1] * ww                # (T, k)
+                    from pydsproutines_tpu.ops.spectral import _czt_core
+                    pdtczt = _czt_core(pdt, aa, fv, ww, m, k, nfft)     # (T, k)
                     return pdtczt * template_phases, rx_norm_sq
 
                 return _chunked_map(jax.vmap(one_shift), shifts, bs)
