@@ -20,7 +20,8 @@
 namespace {
 
 // Convert a block of interleaved int16 to float32.
-inline void convert_i16_to_f32(const int16_t* in, float* out, size_t n) {
+inline void convert_i16_to_f32(const int16_t* __restrict in,
+                               float* __restrict out, size_t n) {
   for (size_t i = 0; i < n; ++i) {
     out[i] = static_cast<float>(in[i]);
   }
@@ -35,7 +36,7 @@ int load_one(const char* path, long num_samps, long offset_bytes, float* out) {
     return -2;
   }
   const size_t total = static_cast<size_t>(num_samps) * 2;  // I and Q
-  constexpr size_t CHUNK = 1 << 16;
+  constexpr size_t CHUNK = 1 << 21;
   std::vector<int16_t> buf(CHUNK);
   size_t done = 0;
   while (done < total) {

@@ -58,12 +58,17 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
 
     if n == dec:
         # Polyphase fast path: dft_in[r, a] = sum_b x[r*N - b*N - a] * h[b*N+a]
-        # is N parallel causal FIR filters (taps h[:, a] = f_tap[a::N] in b) on
-        # the polyphase components x_a[k] = x[k*N - a] — a grouped depthwise
-        # convolution, reading each input sample once (no L/Dec window
-        # duplication; the reference C threads this per-phase,
-        # cpuWolaDll.c:68).
-        dft_in = _wola_polyphase_fold(f_tap.astype(x.dtype), x, n, nprime_pts)
+        # computed directly on the natural xq = x.reshape(rows, N) layout:
+        # x[(r-b)N - a] = xq[r-b-1, N-a] (a>=1) / xq[r-b, 0] (a==0), so the
+        # fold is a per-channel banded matmul over row blocks with the
+        # channel permutation a <-> (N-a)%N absorbed into the tap matrix and
+        # the IDFT matrix rows. No phase matrix is ever built (the previous
+        # grouped depthwise conv needed a lane-reversed phase matrix costing
+        # a measured 0.7 ms/8M on v5e and ran the fold on the VPU; the
+        # banded-matmul form rides the MXU — see
+        # benchmarks/exp_wola_breakdown.py).
+        g = _wola_fold_matmul(f_tap, x, n, nprime_pts)   # c-order columns
+        dft_in = None
     else:
         taps = jnp.flip(f_tap.astype(x.dtype))  # index L-1-j <-> f_tap[j]
         # window for output row i covers x[i*dec - (L-1) .. i*dec]
@@ -79,11 +84,18 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
     # The final per-row length-N inverse DFT: for the small N used by
     # channelizers this is an MXU matmul against the conjugate DFT matrix
     # (out = ifft(dft_in)*N = dft_in @ conj(W_N)), much faster than XLA's
-    # batched small FFT on TPU.
-    if n <= 2048:
-        import numpy as _np
-        k = _np.arange(n, dtype=_np.float64)
-        wconj = _np.exp(2j * _np.pi * _np.mod(_np.outer(k, k), n) / n)
+    # batched small FFT on TPU. The matmul-fold path hands back columns in
+    # c = (N-a) % N order, absorbed by permuting the IDFT matrix ROWS.
+    import numpy as _np
+    k = _np.arange(n, dtype=_np.float64)
+    wconj = _np.exp(2j * _np.pi * _np.mod(_np.outer(k, k), n) / n)
+    if dft_in is None:
+        if n <= 2048:
+            perm = (-_np.arange(n)) % n        # row c holds phase a=(N-c)%N
+            out = g @ jnp.asarray(wconj[perm].astype(x.dtype))
+        else:
+            out = jnp.fft.ifft(g[:, (-_np.arange(n)) % n], axis=-1) * n
+    elif n <= 2048:
         out = dft_in @ jnp.asarray(wconj.astype(x.dtype))
     else:
         out = jnp.fft.ifft(dft_in, axis=-1) * n
@@ -96,6 +108,71 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
         flip = jnp.where(chan_odd[None, :], row_sign[:, None], 1.0)
         out = out * flip.astype(out.dtype)
     return out.astype(x.dtype)
+
+
+def _wola_fold_matmul(f_tap, x, n, nprime_pts, kblk: int = 128):
+    """Polyphase WOLA fold (N == Dec) as a per-channel banded matmul on the
+    natural xq = x.reshape(rows, N) layout.
+
+    dft_in[k, a] = sum_b h[bN + a] * x[(k-b)N - a] with
+      x[(k-b)N - a] = xq[k-b-1, N-a]  (a >= 1)
+      x[(k-b)N]     = xq[k-b,   0  ]  (a == 0),
+    so column c of xq feeds phase a = (N-c) % N through a banded tap matrix
+    whose row alignment differs by one for c == 0. Output g[k, c] =
+    dft_in[k, (N-c)%N]; the caller permutes the IDFT matrix rows, so no data
+    permutation ever happens. Blocks of ``kblk`` output rows contract one
+    (kblk+B)-row window against a (N, kblk, kblk+B) banded tap tensor — a
+    batched MXU dot_general (the depthwise-conv formulation ran on the VPU
+    and needed a lane-reversed phase-matrix build; measured 2.7 -> ~2.0
+    ms/8M on v5e).
+    """
+    L = f_tap.shape[-1]
+    B = L // n
+    rows = nprime_pts
+    nblk = -(-rows // kblk)
+    w = kblk + B
+    rdt = f_tap.dtype if not jnp.issubdtype(f_tap.dtype, jnp.complexfloating) \
+        else jnp.float32
+
+    # static index maps; traced tap values scattered into the banded tensor
+    t_g, b_g = np.meshgrid(np.arange(kblk), np.arange(B), indexing="ij")
+    c_idx, t_idx, tau_idx, tap_idx = [], [], [], []
+    for c in range(n):
+        if c == 0:
+            tau = t_g + B - b_g             # a == 0: xq[k-b, 0]
+            tap = b_g * n
+        else:
+            tau = t_g + B - 1 - b_g         # a = N-c: xq[k-b-1, c]
+            tap = b_g * n + (n - c)
+        c_idx.append(np.full(t_g.size, c))
+        t_idx.append(t_g.ravel())
+        tau_idx.append(tau.ravel())
+        tap_idx.append(tap.ravel())
+    K = jnp.zeros((n, kblk, w), rdt).at[
+        jnp.asarray(np.concatenate(c_idx)),
+        jnp.asarray(np.concatenate(t_idx)),
+        jnp.asarray(np.concatenate(tau_idx))].set(
+        jnp.real(f_tap).astype(rdt)[jnp.asarray(np.concatenate(tap_idx))])
+
+    xq = x[: rows * n].reshape(rows, n)
+    rr = -(-w // kblk)
+    pp = jnp.concatenate([
+        jnp.zeros((B, n), x.dtype), xq,
+        jnp.zeros((nblk * kblk - rows + rr * kblk, n), x.dtype)])
+    parts = [jax.lax.slice(pp, (i * kblk, 0),
+                           (i * kblk + nblk * kblk, n)).reshape(nblk, kblk, n)
+             for i in range(rr)]
+    win = jnp.concatenate(parts, axis=1)[:, :w]      # (nblk, w, n)
+    win_c = jnp.moveaxis(win, -1, 0)                 # (n, nblk, w)
+    ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        gr = ein("cnw,ctw->cnt", win_c.real.astype(rdt), K)
+        gi = ein("cnw,ctw->cnt", win_c.imag.astype(rdt), K)
+        g = jax.lax.complex(gr, gi)
+    else:
+        g = ein("cnw,ctw->cnt", win_c.astype(rdt), K)
+    g = jnp.moveaxis(g, 0, -1).reshape(nblk * kblk, n)[:rows]
+    return g.astype(x.dtype)
 
 
 def _wola_polyphase_fold(f_tap, x, n, nprime_pts):
