@@ -370,29 +370,49 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
 
+    def guard(name, fn):
+        # one failing config must not take down the rest of the sweep
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     if only in (None, "xcorr1m"):
-        rate = bench_fft_xcorr(1_000_000, 128, 128)
-        emit("fft_xcorr_freqscan_1Mx128", rate, "Gsample-shift/s",
-             1_000_000 * 128 / 0.29 / 1e9)       # reference GPU best
+        guard("xcorr1m", lambda: emit(
+            "fft_xcorr_freqscan_1Mx128", bench_fft_xcorr(1_000_000, 128, 128),
+            "Gsample-shift/s", 1_000_000 * 128 / 0.29 / 1e9))  # ref GPU best
     if only in (None, "xcorr10m"):
-        rate = bench_fft_xcorr(10_000_000, 128, 16, r_hi=2)
-        emit("fft_xcorr_freqscan_10Mx128", rate, "Gsample-shift/s",
-             10_000_000 * 128 / 3.0 / 1e9)       # reference GPU best
-    if only in (None, "firupfirdn"):
-        rate, cpu = bench_fir_upfirdn()
-        emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu)
+        guard("xcorr10m", lambda: emit(
+            "fft_xcorr_freqscan_10Mx128",
+            bench_fft_xcorr(10_000_000, 128, 16, r_hi=2),
+            "Gsample-shift/s", 10_000_000 * 128 / 3.0 / 1e9))  # ref GPU best
     if only in (None, "wola"):
-        rate, cpu = bench_wola()
-        emit("wola_64ch_8M", rate, "GS/s", cpu)
+        def _wola():
+            rate, cpu = bench_wola()
+            emit("wola_64ch_8M", rate, "GS/s", cpu)
+        guard("wola", _wola)
+    if only in (None, "firupfirdn"):
+        def _fir():
+            rate, cpu = bench_fir_upfirdn()
+            emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu)
+        guard("firupfirdn", _fir)
     if only in (None, "groupxcorr"):
-        rate, cpu = bench_group_xcorr()
-        emit("group_xcorr_czt_8x4096x128x1024", rate, "Gsample-shift/s", cpu)
+        def _gx():
+            rate, cpu = bench_group_xcorr()
+            emit("group_xcorr_czt_8x4096x128x1024", rate,
+                 "Gsample-shift/s", cpu)
+        guard("groupxcorr", _gx)
     if only in (None, "demod"):
-        rate, cpu = bench_qpsk_demod_batch()
-        emit("qpsk_demod_batch_256x4096", rate, "Msamples/s", cpu)
+        def _dm():
+            rate, cpu = bench_qpsk_demod_batch()
+            emit("qpsk_demod_batch_256x4096", rate, "Msamples/s", cpu)
+        guard("demod", _dm)
     if only in (None, "viterbi"):
-        rate, cpu = bench_cp2fsk_viterbi()
-        emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu)
+        def _vit():
+            rate, cpu = bench_cp2fsk_viterbi()
+            emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu)
+        guard("viterbi", _vit)
 
 
 if __name__ == "__main__":

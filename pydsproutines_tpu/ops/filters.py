@@ -346,6 +346,13 @@ def medfilt(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
         raise ValueError("kernel_size must be odd")
     half = kernel_size // 2
     n = x.shape[-1]
+    # TPU: single-kernel radix select with VMEM-resident windows — exact and
+    # ~500x the sort form (ops/pallas/medfilt.py). Real 1-D float only (the
+    # burst-detection use case); other dtypes take the generic path.
+    if (x.ndim == 1 and jnp.issubdtype(x.dtype, jnp.floating)
+            and jax.devices()[0].platform == "tpu"):
+        from pydsproutines_tpu.ops.pallas.medfilt import medfilt_pallas
+        return medfilt_pallas(x, int(kernel_size))
     xp = jnp.pad(x, (half, half))
     if n * kernel_size <= _MEDFILT_ELEMS:
         idx = jnp.arange(n)[:, None] + jnp.arange(kernel_size)[None, :]

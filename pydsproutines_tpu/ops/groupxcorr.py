@@ -277,9 +277,10 @@ class TemplateCrossCorrelator:
             template_len = self.template_len
 
             def _impl(x):
+                from pydsproutines_tpu.ops.fft import fft, ifft
                 from pydsproutines_tpu.ops.filters import _conv_causal_matmul
-                xfft = jnp.fft.fft(x)
-                out = jnp.fft.ifft(xfft[None, :] * tfftsconj, axis=-1)
+                xfft = fft(x)                      # matmul-FFT plan (MXU)
+                out = ifft(xfft[None, :] * tfftsconj, axis=-1)
                 # rolling input energy over template_len windows (matmul
                 # form: XLA's huge-width 1-D conv compiles pathologically)
                 power = _abs_sq(x)

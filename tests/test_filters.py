@@ -165,3 +165,15 @@ def test_medfilt_chunked_path_matches_one_shot(rng, monkeypatch):
     monkeypatch.setattr(F, "_MEDFILT_ELEMS", 1 << 16)
     got = np.asarray(F.medfilt.__wrapped__(jnp.asarray(x), 11))
     np.testing.assert_allclose(got, ref)
+
+
+def test_medfilt_pallas_kernel_exact(rng):
+    """The TPU radix-select medfilt kernel bit-matches scipy (interpret
+    mode here; identical grid/rotate logic on hardware)."""
+    import scipy.signal as sps
+    from pydsproutines_tpu.ops.pallas.medfilt import medfilt_pallas
+    for n, k in [(5000, 129), (4096, 5), (700, 31), (2048, 255)]:
+        x = rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(medfilt_pallas(jnp.asarray(x), k, interpret=True))
+        ref = sps.medfilt(x, k)
+        assert np.array_equal(got, ref), (n, k)
