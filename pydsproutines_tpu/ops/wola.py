@@ -30,7 +30,7 @@ import numpy as np
 from pydsproutines_tpu.utils.freq import make_freq
 
 
-@functools.partial(jax.jit, static_argnames=("dec", "n"))
+@functools.partial(jax.jit, static_argnames=("dec", "n"), inline=True)
 def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
          row_offset=0) -> jnp.ndarray:
     """WOLA channelize ``x`` into ``n`` channels decimated by ``dec``.
@@ -134,25 +134,21 @@ def _wola_fold_matmul(f_tap, x, n, nprime_pts, kblk: int = 128):
     rdt = f_tap.dtype if not jnp.issubdtype(f_tap.dtype, jnp.complexfloating) \
         else jnp.float32
 
-    # static index maps; traced tap values scattered into the banded tensor
-    t_g, b_g = np.meshgrid(np.arange(kblk), np.arange(B), indexing="ij")
-    c_idx, t_idx, tau_idx, tap_idx = [], [], [], []
-    for c in range(n):
-        if c == 0:
-            tau = t_g + B - b_g             # a == 0: xq[k-b, 0]
-            tap = b_g * n
-        else:
-            tau = t_g + B - 1 - b_g         # a = N-c: xq[k-b-1, c]
-            tap = b_g * n + (n - c)
-        c_idx.append(np.full(t_g.size, c))
-        t_idx.append(t_g.ravel())
-        tau_idx.append(tau.ravel())
-        tap_idx.append(tap.ravel())
-    K = jnp.zeros((n, kblk, w), rdt).at[
-        jnp.asarray(np.concatenate(c_idx)),
-        jnp.asarray(np.concatenate(t_idx)),
-        jnp.asarray(np.concatenate(tau_idx))].set(
-        jnp.real(f_tap).astype(rdt)[jnp.asarray(np.concatenate(tap_idx))])
+    # static (n, kblk, w) index/valid maps, traced tap VALUES gathered in one
+    # shot: K = where(valid, f_tap[tap_idx], 0). A scatter (.at[].set) here
+    # measured ~1 ms/call when wola runs nested inside another jit (the tap
+    # constants stop const-folding across the call boundary); the gather
+    # form is a single cheap pass either way.
+    c_g = np.arange(n)[:, None, None]
+    t_g = np.arange(kblk)[None, :, None]
+    tau_g = np.arange(w)[None, None, :]
+    # c == 0: tau = t + B - b, tap = b*n;  c >= 1: tau = t + B - 1 - b,
+    # tap = b*n + (n - c)
+    b_g = np.where(c_g == 0, t_g + B - tau_g, t_g + B - 1 - tau_g)
+    valid = (b_g >= 0) & (b_g < B)
+    tap_idx = np.clip(b_g, 0, B - 1) * n + np.where(c_g == 0, 0, n - c_g)
+    K = jnp.where(jnp.asarray(valid),
+                  jnp.real(f_tap).astype(rdt)[jnp.asarray(tap_idx)], 0)
 
     xq = x[: rows * n].reshape(rows, n)
     rr = -(-w // kblk)
@@ -173,37 +169,6 @@ def _wola_fold_matmul(f_tap, x, n, nprime_pts, kblk: int = 128):
         g = ein("cnw,ctw->cnt", win_c.astype(rdt), K)
     g = jnp.moveaxis(g, 0, -1).reshape(nblk * kblk, n)[:rows]
     return g.astype(x.dtype)
-
-
-def _wola_polyphase_fold(f_tap, x, n, nprime_pts):
-    """Polyphase WOLA fold for N == Dec via per-phase causal FIR.
-
-    x_a[k] = x[k*N - a] (zero for negative index); dft_in[:, a] =
-    lfilter(h_a, 1, x_a) with h_a[b] = f_tap[b*N + a].
-    """
-    L = f_tap.shape[-1]
-    B = L // n
-    # xp[m] = x[m - N]; row/col mapping: x_a[k] = xp[(k+1)*N - a]
-    xp = jnp.concatenate([jnp.zeros(n, dtype=x.dtype),
-                          x[: nprime_pts * n]])
-    xp2 = xp.reshape(nprime_pts + 1, n)
-    # phases[k, a]: a == 0 -> xp2[k+1, 0]; a >= 1 -> xp2[k, n-a]
-    col0 = xp2[1:, 0:1]                              # (nprime_pts, 1)
-    rest = xp2[:-1, :0:-1]                           # (nprime_pts, n-1): cols n-1..1
-    phases = jnp.concatenate([col0, rest], axis=1)   # (nprime_pts, n)
-    # taps per phase: h_a[b] = f_tap[b*n + a] -> flipped for correlation form
-    h = f_tap.real.reshape(B, n)                     # taps are real-valued
-    kernel = jnp.flip(h, axis=0).T[:, None, :]       # (n, 1, B)
-    rdt = kernel.dtype
-    # grouped causal conv on the re/im planes (taps are real)
-    planes = jnp.stack([phases.real, phases.imag]).astype(rdt)  # (2, T, n)
-    planes = jnp.moveaxis(planes, -1, 1)             # (2, n, T)
-    out = jax.lax.conv_general_dilated(
-        planes, kernel, window_strides=(1,),
-        padding=[(B - 1, 0)], feature_group_count=n,
-        dimension_numbers=("NCW", "OIW", "NCW"))     # (2, n, T)
-    out = jnp.moveaxis(out, 1, -1)                   # (2, T, n)
-    return (out[0] + 1j * out[1]).astype(x.dtype)
 
 
 class Channeliser:
