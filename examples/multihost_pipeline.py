@@ -19,7 +19,10 @@ this flow with gloo collectives; see parallel/multihost.py for the pieces.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import tempfile
 
 import numpy as np
