@@ -226,7 +226,7 @@ def bench_group_xcorr(m=8, glen=4096, nfreq=128, nshifts=1024):
         outs = []
         for i in range(n_reps):
             rx = jax.lax.complex(rri[0] * (1.0 + 1e-7 * (salt + i)), rri[1])
-            caf, _ = gx.xcorr(rx, jnp.asarray(shifts))
+            caf, _ = gx.xcorr(rx, shifts, step=1)
             outs.append(jnp.max(caf))
         return jnp.stack(outs)
 

@@ -84,14 +84,60 @@ class GroupXcorrCZT:
         # mask for valid samples per group row (groups padded to max_length)
         self.group_mask = np.arange(self.max_length)[None, :] < lengths[:, None]
         self._fns = {}
+        self._fused_cache = {}
 
-    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
+    def _fused_consts(self, batch: int, step: int) -> dict | None:
+        """Host-numpy constants for the fused Pallas CAF kernel
+        (ops/pallas/group_caf.py), or None when the geometry does not fit.
+        The per-group tone banks fold the group phases into the DFT matrix;
+        zero padding in ystack already masks short groups' products."""
+        from pydsproutines_tpu.ops.pallas.group_caf import group_caf_viable
+        if self.plan.tones is None:
+            return None
+        g, m, k = self.num_groups, self.max_length, self.plan.k
+        if not group_caf_viable(g, m, k, batch, step):
+            return None
+        key = (batch, step)
+        if key not in self._fused_cache:
+            import ml_dtypes
+            bf16 = np.dtype(ml_dtypes.bfloat16)
+            t = self.plan.tones[None, :, :] * self.group_phases[:, None, :]
+            self._fused_cache[key] = dict(
+                g=g, m=m, k=k, batch=batch, step=step,
+                starts=self.starts.astype(np.int32),
+                yst_re=self.ystack.real.astype(np.float32),
+                yst_im=self.ystack.imag.astype(np.float32),
+                t_re=t.real.astype(bf16), t_im=t.imag.astype(bf16))
+        return self._fused_cache[key]
+
+    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32,
+              fused: bool | None = None, step: int | None = None):
+        """CAF over ``shifts``; returns ((num_shifts, k) QF^2 grid, czt
+        freqs). ``fused=None`` auto-routes uniform-step sweeps on viable
+        geometries through the single-kernel Pallas path on TPU (bf16 CAF
+        grade); False forces the XLA tier (parity grade).
+
+        ``step``: declare the shifts' uniform stride when calling from
+        INSIDE a jit — traced shift arrays cannot be inspected host-side
+        (np.asarray on a tracer raises), so without it the sweep silently
+        takes the generic-gather tier. Host numpy/concrete shifts are
+        detected automatically."""
         from pydsproutines_tpu.ops.xcorr import _uniform_step
         if shifts is None:
             shifts = jnp.arange(
                 rx.shape[-1] - (int(self.starts[-1]) + int(self.lengths[-1])) + 1)
-        step = _uniform_step(shifts)
+        if step is None:
+            step = _uniform_step(shifts)
         shifts = jnp.asarray(shifts)
+        nshifts = int(shifts.shape[0])
+        if fused is None:
+            fused = jax.devices()[0].platform == "tpu"
+        if fused and step is not None:
+            # the MXU matmul wants >=128 rows; cap by the sweep length
+            fb = min(128, nshifts - nshifts % 8) or 8
+            consts = self._fused_consts(fb, step)
+            if consts is not None:
+                return self._xcorr_fused(rx, shifts, consts), self.czt_freq
         bs = int(min(batch_size, shifts.shape[0]))
         fn = self._fns.get((bs, step))
         if fn is None:
@@ -156,6 +202,37 @@ class GroupXcorrCZT:
             fn = self._fns.setdefault((bs, step), jax.jit(_impl))
         return fn(rx, shifts), self.czt_freq
 
+    def _xcorr_fused(self, rx, shifts, consts: dict):
+        key = ("fused", consts["batch"], consts["step"], int(shifts.shape[0]))
+        fn = self._fns.get(key)
+        if fn is None:
+            from pydsproutines_tpu.ops.pallas.group_caf import fused_group_caf
+            starts = self.starts.astype(np.int64)
+            lengths = self.lengths.astype(np.int64)
+            ynormsq = self.ystack_norm_sq
+            k = self.plan.k
+            batch = consts["batch"]
+            nshifts = int(shifts.shape[0])
+            nchunks = -(-nshifts // batch)
+            interp = jax.devices()[0].platform not in ("tpu",)
+
+            def _impl(rx, shifts):
+                out_re, out_im = fused_group_caf(rx, shifts[0], nchunks,
+                                                 consts, interpret=interp)
+                mag = (out_re * out_re + out_im * out_im).reshape(-1, k)
+                mag = mag[:nshifts]
+                power = jnp.concatenate([
+                    jnp.zeros(1, jnp.float32),
+                    jnp.cumsum(_abs_sq(rx).astype(jnp.float32))])
+                norms = 0.0
+                for s, ln in zip(starts, lengths):
+                    norms = norms + (power[shifts + int(s + ln)]
+                                     - power[shifts + int(s)])
+                return mag / norms[:, None] / ynormsq
+
+            fn = self._fns.setdefault(key, jax.jit(_impl))
+        return fn(rx, shifts)
+
 
 class GroupXcorrFFT:
     """Group xcorr over the FFT frequency grid (reference GroupXcorrFFT,
@@ -186,12 +263,14 @@ class GroupXcorrFFT:
         self.fftfreq = fftfreq
         self._fns = {}
 
-    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32):
+    def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32,
+              step: int | None = None):
         from pydsproutines_tpu.ops.xcorr import _uniform_step
         if shifts is None:
             shifts = jnp.arange(
                 rx.shape[-1] - (int(self.starts[-1]) + self.ygroup_len) + 1)
-        step = _uniform_step(shifts)
+        if step is None:
+            step = _uniform_step(shifts)
         shifts = jnp.asarray(shifts)
         bs = int(min(batch_size, shifts.shape[0]))
         fn = self._fns.get((bs, step))

@@ -19,7 +19,12 @@ from jax.sharding import PartitionSpec as P
 
 
 def _shard_shifts_call(plan, rx, shifts, mesh, axis, batch_size):
-    """Common shard_map wrapper over a plan's jitted (rx, shifts) closure."""
+    """Common shard_map wrapper over a plan's jitted (rx, shifts) closure.
+    The shifts' uniform stride is detected HOST-side (inside shard_map they
+    are tracers) and passed through so each device's contiguous block takes
+    the fast gather / fused-kernel tiers."""
+    from pydsproutines_tpu.ops.xcorr import _uniform_step
+    step = _uniform_step(shifts)
     shifts = jnp.asarray(shifts)
     ndev = mesh.shape[axis]
     nper = shifts.shape[0] // ndev
@@ -28,7 +33,7 @@ def _shard_shifts_call(plan, rx, shifts, mesh, axis, batch_size):
     bs = int(min(batch_size, nper))
 
     def local(r, s):
-        out = plan.xcorr(r, s, batch_size=bs)
+        out = plan.xcorr(r, s, batch_size=bs, step=step)
         return out[0] if isinstance(out, tuple) else out
 
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
@@ -66,9 +71,11 @@ def sharded_group_xcorr_peak(plan, rx: jnp.ndarray, shifts,
     if nper * ndev != shifts.shape[0]:
         raise ValueError("len(shifts) must divide evenly over the mesh axis")
     bs = int(min(batch_size, nper))
+    from pydsproutines_tpu.ops.xcorr import _uniform_step
+    step = _uniform_step(shifts)
 
     def local(r, s):
-        out = plan.xcorr(r, s, batch_size=bs)
+        out = plan.xcorr(r, s, batch_size=bs, step=step)
         caf = out[0] if isinstance(out, tuple) else out
         flat = caf.reshape(-1)
         i = jnp.argmax(flat)
