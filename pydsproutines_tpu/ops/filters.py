@@ -168,24 +168,37 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
     qmax = int(qc_c[-1])
     Lw = Lh + qmax
 
-    # group Gp phase periods per output block so the matmul's output lane
-    # dim is ~256 (the raw per-period form has only P lanes — at up=5 that
-    # is a 5-wide minor axis, which pads to 128 and runs bandwidth-bound at
-    # <5% lane utilization; measured 60+ ms for 4M samples on v5e).
+    # group Gp phase periods per output block so (a) the output lane dim is
+    # a MULTIPLE OF 128 — the final (rows, B, cols) -> (rows, n_out) flatten
+    # is then an aligned repack instead of a lane shuffle (measured 1.6 ms
+    # of a 4 ms upfirdn at cols=195) — and (b) the block stride Gp*S is
+    # ~half the window width, so the shifted-reshape window build reads the
+    # input ~2x instead of ceil(W/stride) times (measured 9 reads at the old
+    # ~192-output blocks). The raw per-period form has only P lanes (at
+    # up=5 a 5-wide minor axis: <5% lane utilization, 60+ ms for 4M).
     # Derivation: out[b*Gp*P + g*P + c] = sum_l Hp[p_c, l] * x[q - l] with
     # q = b*Gp*S + g*S + qc_c (exact: (Gp*P*down) % up == 0), so one
     # (rows, W) window per block against a banded (W, Gp*P) tap matrix.
-    gp = max(1, int(np.ceil(192 / P)))
-    cols = gp * P                     # outputs per block
+    cols0 = int(np.lcm(P, 128))
+    gp = cols0 // P
+    while gp * P < 256:
+        gp *= 2
+    while gp * P > 2048 and gp % 2 == 0 and (gp // 2) * P % 128 == 0:
+        gp //= 2
+    cols = gp * P                     # outputs per block, 128-aligned
     W = (gp - 1) * S + Lw             # window width per block
-    # static index map (numpy), traced values (taps): K built by one scatter
-    gi, ci, li = np.meshgrid(np.arange(gp), np.arange(P), np.arange(Lh),
-                             indexing="ij")
-    t_idx = gi * S + qc_c[ci] + Lh - 1 - li       # t = g*S + qc_c + Lh-1 - l
-    col_idx = gi * P + ci
-    vals = Hp[jnp.asarray(p_c[ci].ravel()), jnp.asarray(li.ravel())]
-    Kj = jnp.zeros((W, cols), taps_r.dtype).at[
-        jnp.asarray(t_idx.ravel()), jnp.asarray(col_idx.ravel())].set(vals)
+    # static (W, cols) index/valid maps; traced tap values gathered (a
+    # scatter build stops const-folding when upfirdn runs nested in a
+    # caller's jit)
+    t_full = np.arange(W)[:, None]
+    col_full = np.arange(cols)[None, :]
+    gi_f = col_full // P
+    ci_f = col_full % P
+    l_f = (gi_f * S + qc_c[ci_f] + Lh - 1) - t_full
+    valid = (l_f >= 0) & (l_f < Lh)
+    Kj = jnp.where(jnp.asarray(valid),
+                   Hp[jnp.asarray(p_c[ci_f]), jnp.asarray(np.clip(
+                       l_f, 0, Lh - 1))], 0)
 
     nblocks = -(-n_out // cols)
     left = Lh - 1                     # aligns xp[b*Gp*S + t] with x[q - l]
