@@ -83,7 +83,7 @@ class WidebandReceiver:
         qf2, freqbins = _fast_xcorr_impl(
             template, x, shifts, n=self.template_len, freqsearch=True,
             output_caf=False, abs_result=True,
-            batch_size=min(128, self.num_shifts))
+            batch_size=min(128, self.num_shifts), step=1)
         ipeak = jnp.argmax(qf2)
 
         # 4) demod at the peak: grab a static-length slice from the peak

@@ -340,7 +340,8 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
 
 def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
                output_caf: bool = False, shifts=None, abs_result: bool = True,
-               batch_size: int = 128, precision: str | None = None):
+               batch_size: int = 128, precision: str | None = None,
+               step: int | None = None):
     """Sliding-window normalized xcorr with optional per-shift frequency scan
     (reference fastXcorr, xcorrRoutines.py:460).
 
@@ -354,14 +355,21 @@ def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
     xcorrRoutines.py:84-151). ``precision`` selects the MXU mode of the
     large-N FFT stages: "bf16" (fastest, spectrum rel err ~1e-2 — peak-search
     grade), "bf16x3" (~1e-5 — parity grade), or "f32" (~5e-7); default from
-    $PDSP_FFT_PRECISION, else "bf16".
+    $PDSP_FFT_PRECISION, else "bf16". ``step`` declares the shifts' uniform
+    stride when calling from INSIDE a jit (traced shifts are host-opaque and
+    would silently take the generic-gather tier).
     """
     if cutout.shape[-1] > rx.shape[-1]:
         raise ValueError(
             f"cutout (len {cutout.shape[-1]}) is longer than rx (len {rx.shape[-1]})")
     if shifts is None:
         shifts = jnp.arange(rx.shape[-1] - cutout.shape[-1] + 1)
-    step = _uniform_step(shifts)
+        step = 1
+    if step is None:
+        # NOTE: traced shift arrays (calls from inside a jit) cannot be
+        # inspected host-side, so the uniform stride is undetectable and the
+        # sweep takes the generic tier — declare ``step=`` explicitly there.
+        step = _uniform_step(shifts)
     shifts = jnp.asarray(shifts)
     if shifts.shape[0] == 0:
         raise ValueError("shifts must be non-empty")
