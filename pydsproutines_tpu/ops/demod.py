@@ -358,20 +358,24 @@ def _psk_demod_batch_impl(xbatch, lengths, amble, *, m, osr, search_start,
     B, L = xbatch.shape
     nsym = L // osr
     rdt = real_dtype_for(xbatch.dtype)
-    x_rs = xbatch[:, : nsym * osr].reshape(B, nsym, osr)
-    # per-sample validity from per-burst lengths
-    pos = jnp.arange(nsym * osr).reshape(nsym, osr)
-    mask_rs = pos[None, :, :] < lengths[:, None, None]        # (B, nsym, osr)
+    # phase-major (B, osr, nsym) layout: nsym rides the 128-lane axis. The
+    # natural reshape (B, nsym, osr) puts osr (often 4) on the lanes — a
+    # 32x padding blowup on EVERY elementwise pass of the chain.
+    xp = xbatch[:, : nsym * osr]
+    x_po = jnp.stack([xp[:, p::osr] for p in range(osr)], axis=1)
+    pos_po = (jnp.arange(nsym)[None, :] * osr
+              + jnp.arange(osr)[:, None]).astype(jnp.int32)   # (osr, nsym)
+    mask_po = pos_po[None, :, :] < lengths[:, None, None]     # (B, osr, nsym)
 
     # -- eye opening (masked mean |x| per phase) ------------------------------
-    absx = jnp.abs(x_rs).astype(rdt)
-    counts = jnp.sum(mask_rs, axis=1).astype(rdt)             # (B, osr)
-    eo_metric = jnp.sum(absx * mask_rs, axis=1) / jnp.maximum(counts, 1)
+    absx = jnp.abs(x_po).astype(rdt)
+    counts = jnp.sum(mask_po, axis=2).astype(rdt)             # (B, osr)
+    eo_metric = jnp.sum(absx * mask_po, axis=2) / jnp.maximum(counts, 1)
     eo_idx = jnp.argmax(eo_metric, axis=-1)                   # (B,)
     xeo = jnp.take_along_axis(
-        x_rs, eo_idx[:, None, None], axis=2)[:, :, 0]         # (B, nsym)
+        x_po, eo_idx[:, None, None], axis=1)[:, 0, :]         # (B, nsym)
     symmask = jnp.take_along_axis(
-        mask_rs, eo_idx[:, None, None], axis=2)[:, :, 0]      # (B, nsym)
+        mask_po, eo_idx[:, None, None], axis=1)[:, 0, :]      # (B, nsym)
     nsym_valid = jnp.sum(symmask, axis=1).astype(jnp.int32)   # (B,)
 
     # -- blind phase lock (masked 2x2 self-product, closed-form eig) ----------
@@ -398,13 +402,22 @@ def _psk_demod_batch_impl(xbatch, lengths, amble, *, m, osr, search_start,
     else:
         syms = map_syms(reimc.reshape(-1), m).reshape(B, nsym)
 
-    # -- preamble shift x rotation search (one-hot histogram, all bursts) -----
+    # -- preamble shift x rotation search (all bursts) ------------------------
+    # accumulate over the A preamble positions with STATIC slices — a
+    # (B, S, A) advanced-index gather lowers to scalar XLA gather — and a
+    # per-rotation compare loop (m tiny, static) instead of a one-hot
+    # (B, S, A, m) tensor whose m-minor axis pads to 128 lanes
     shifts = search_start + jnp.arange(search_len)
-    win_idx = shifts[:, None] + jnp.arange(amble_len)[None, :]   # (S, A)
-    windows = syms[:, win_idx].astype(jnp.int32)                 # (B, S, A)
-    diff = jnp.mod(amble.astype(jnp.int32)[None, None, :] - windows, m)
-    matches = jnp.sum(jax.nn.one_hot(diff, m, dtype=jnp.int32),
-                      axis=2)                                    # (B, S, m)
+    syms_i = syms.astype(jnp.int32)
+    amble_i = amble.astype(jnp.int32)
+    acc = [jnp.zeros((B, search_len), jnp.int32) for _ in range(m)]
+    for a in range(amble_len):
+        col = jax.lax.slice(syms_i, (0, search_start + a),
+                            (B, search_start + a + search_len))  # (B, S)
+        d = jnp.mod(amble_i[a] - col, m)
+        for r in range(m):
+            acc[r] = acc[r] + (d == r).astype(jnp.int32)
+    matches = jnp.stack(acc, axis=-1)                            # (B, S, m)
     # shifts whose amble window runs past the burst's valid symbols lose
     valid_shift = (shifts[None, :] + amble_len) <= nsym_valid[:, None]
     matches = jnp.where(valid_shift[:, :, None], matches, -1)
@@ -420,12 +433,22 @@ def _psk_demod_batch_impl(xbatch, lengths, amble, *, m, osr, search_start,
     # -- payload cut + bit unpack (reference cutAndRotateFromPreambles) -------
     out_pos = best_idx[:, None] + amble_len + jnp.arange(num_out_syms)[None, :]
     in_range = out_pos < nsym_valid[:, None]
-    gathered = jnp.take_along_axis(
-        rotated, jnp.clip(out_pos, 0, nsym - 1), axis=1)
+    # contiguous per-burst cut: one dynamic slice per row (a take_along_axis
+    # here is a scalar gather over B*num_out_syms elements). Right padding
+    # keeps the slice un-clamped when the cut runs past the burst end; the
+    # zero tail is masked out by in_range regardless.
+    rotated_p = jnp.pad(rotated, ((0, 0), (0, num_out_syms)))
+    gathered = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (num_out_syms,)))(
+        rotated_p, best_idx + amble_len)
     gathered = jnp.where(in_range, gathered, 0)
     bit_counts = jnp.sum(in_range, axis=1).astype(jnp.int32)
     bps = int(np.log2(m))
-    bitvals = jnp.asarray(PSK_BITMAPS[m])[gathered]              # (B, n_out)
+    # tiny-table lookup as a select chain (VPU) instead of a gather
+    bmap = np.asarray(PSK_BITMAPS[m]).astype(np.int32)
+    bitvals = jnp.zeros_like(gathered, dtype=jnp.int32)
+    for v in range(m):
+        bitvals = jnp.where(gathered == v, int(bmap[v]), bitvals)
     # unpack to one byte per bit, MSB first (reference unpackToBinaryBytes)
     shifts_b = np.arange(bps - 1, -1, -1, dtype=np.int32)
     bits = ((bitvals[:, :, None] >> shifts_b[None, None, :]) & 1).astype(
