@@ -111,18 +111,16 @@ def map_syms_bpsk(reimc: jnp.ndarray) -> jnp.ndarray:
     return (reimc.real < 0).astype(jnp.uint8)
 
 
-_GRAY4 = np.array([[2, 1], [3, 0]], dtype=np.uint8)
-
-
 @jax.jit
 def map_syms_qpsk(reimc: jnp.ndarray) -> jnp.ndarray:
     """Specialized QPSK quadrant-gray mapping (reference
     SimpleDemodulatorQPSK.mapSyms, demodulationRoutines.py:492). Assumes the
-    constellation has been rotated into the 'box' (correctPhase adds pi/4)."""
-    gray4 = jnp.asarray(_GRAY4)
+    constellation has been rotated into the 'box' (correctPhase adds pi/4).
+    Arithmetic form of the gray table [[2,1],[3,0]] — a 2x2 table gather
+    lowers to a scalar XLA gather per sample."""
     xp = (reimc.real > 0).astype(jnp.int32)
     yp = (reimc.imag > 0).astype(jnp.int32)
-    return gray4[xp, yp].astype(jnp.uint8)
+    return jnp.where(yp == 1, 1 - xp, 2 + xp).astype(jnp.uint8)
 
 
 @jax.jit
@@ -403,21 +401,21 @@ def _psk_demod_batch_impl(xbatch, lengths, amble, *, m, osr, search_start,
         syms = map_syms(reimc.reshape(-1), m).reshape(B, nsym)
 
     # -- preamble shift x rotation search (all bursts) ------------------------
-    # accumulate over the A preamble positions with STATIC slices — a
-    # (B, S, A) advanced-index gather lowers to scalar XLA gather — and a
-    # per-rotation compare loop (m tiny, static) instead of a one-hot
-    # (B, S, A, m) tensor whose m-minor axis pads to 128 lanes
+    # windows via a stack of STATIC slices (advanced-index gathers lower to
+    # scalar XLA gathers; per-(a, r) accumulate loops hit the small-op
+    # dispatch floor — 128 micro-ops measured 2.2 of 2.7 ms), then ONE
+    # broadcast compare against all (rotation, position) targets
     shifts = search_start + jnp.arange(search_len)
     syms_i = syms.astype(jnp.int32)
-    amble_i = amble.astype(jnp.int32)
-    acc = [jnp.zeros((B, search_len), jnp.int32) for _ in range(m)]
-    for a in range(amble_len):
-        col = jax.lax.slice(syms_i, (0, search_start + a),
-                            (B, search_start + a + search_len))  # (B, S)
-        d = jnp.mod(amble_i[a] - col, m)
-        for r in range(m):
-            acc[r] = acc[r] + (d == r).astype(jnp.int32)
-    matches = jnp.stack(acc, axis=-1)                            # (B, S, m)
+    windows = jnp.stack(
+        [jax.lax.slice(syms_i, (0, search_start + a),
+                       (B, search_start + a + search_len))
+         for a in range(amble_len)], axis=-1)                    # (B, S, A)
+    # tgt[r, a] = (amble[a] - r) mod m: rotated window matches amble at a
+    tgt = jnp.mod(amble.astype(jnp.int32)[None, :]
+                  - jnp.arange(m, dtype=jnp.int32)[:, None], m)  # (m, A)
+    eq = (windows[:, :, None, :] == tgt[None, None, :, :])
+    matches = jnp.sum(eq.astype(jnp.int32), axis=-1)             # (B, S, m)
     # shifts whose amble window runs past the burst's valid symbols lose
     valid_shift = (shifts[None, :] + amble_len) <= nsym_valid[:, None]
     matches = jnp.where(valid_shift[:, :, None], matches, -1)
