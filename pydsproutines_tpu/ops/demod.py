@@ -131,7 +131,6 @@ def map_syms_8psk(reimc: jnp.ndarray, eo_scaling) -> jnp.ndarray:
     map8 = np.zeros((2, 2, 2), dtype=np.uint8)
     map8[1, 1, 1] = 0; map8[0, 1, 1] = 1; map8[1, 0, 1] = 2; map8[0, 0, 1] = 3
     map8[1, 1, 0] = 4; map8[0, 0, 0] = 5; map8[1, 0, 0] = 6; map8[0, 1, 0] = 7
-    map8 = jnp.asarray(map8)
 
     x, y = reimc.real, reimc.imag
     thresh = jnp.abs(jnp.abs(jnp.cos(np.pi / 8) * eo_scaling)
@@ -147,8 +146,16 @@ def map_syms_8psk(reimc: jnp.ndarray, eo_scaling) -> jnp.ndarray:
     idx1 = (c1z & cxmy2) | ((~c1z) & cx2)
     idx2 = (c1z & (cx3 | cy3)) | ((~c1z) & cy2)
     idx0 = c1z
-    return map8[idx0.astype(jnp.int32), idx1.astype(jnp.int32),
-                idx2.astype(jnp.int32)].astype(jnp.uint8)
+    # select chain over the 8 table entries (a 3-index table gather lowers
+    # to a scalar XLA gather per sample — measured 44x the whole QPSK chain
+    # for the analogous 2x2 map)
+    lin = (idx0.astype(jnp.int32) * 4 + idx1.astype(jnp.int32) * 2
+           + idx2.astype(jnp.int32))
+    flat = np.asarray(map8).reshape(-1)
+    out = jnp.zeros_like(lin)
+    for v in range(8):
+        out = jnp.where(lin == v, int(flat[v]), out)
+    return out.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "search_len", "amble_len"))
@@ -172,8 +179,14 @@ def syms_to_bits(syms: jnp.ndarray, m: int, bitmap=None,
                  phase_sym_shift: int = 0) -> jnp.ndarray:
     """Map symbol indices to bit values via (rolled) bitmap (reference
     symsToBits, demodulationRoutines.py:244)."""
-    bm = jnp.asarray(PSK_BITMAPS[m] if bitmap is None else bitmap)
-    return jnp.roll(bm, phase_sym_shift)[syms]
+    bm = jnp.roll(jnp.asarray(PSK_BITMAPS[m] if bitmap is None else bitmap),
+                  phase_sym_shift)
+    # rolled-bitmap lookup as selects (an m-entry table gather is scalar on
+    # TPU); bm may be traced (phase_sym_shift often is), so select on values
+    out = jnp.zeros(syms.shape, bm.dtype)
+    for v in range(m):
+        out = jnp.where(syms == v, bm[v], out)
+    return out
 
 
 def unpack_to_binary_bytes(packed: np.ndarray, m: int) -> np.ndarray:
