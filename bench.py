@@ -40,12 +40,26 @@ import numpy as np
 
 R_LO, R_HI = 1, 4
 
+# Axon-tunnel dispatch jitter floor (seconds). A rep-count difference below
+# a few multiples of this is timer noise, not device time.
+TIMER_NOISE_FLOOR = 2e-4
 
-def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3):
+
+class NoiseDominatedError(RuntimeError):
+    """The rep-differenced interval never rose above timer noise."""
+
+
+def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3, max_r_hi=512):
     """Run ``step(*args, n_reps)`` at two rep counts; return per-rep seconds.
 
-    ``step`` must force all reps to execute (perturbed inputs, unrolled) and
-    return something whose first leaf is small and real (host-fetchable).
+    ``step`` must force all reps to execute (perturbed inputs) and return
+    something whose first leaf is small and real (host-fetchable).
+
+    Round-2 postmortem: a sub-ms kernel made ``t_hi - t_lo`` fall below
+    dispatch jitter and the old ``max(diff, 1e-9)`` clamp published a garbage
+    official number.  Now the high rep count escalates geometrically until
+    the differenced interval exceeds 5x the observed timer jitter (with an
+    absolute floor); if it never does, we raise instead of emitting.
     """
     def timed(nr, salt):
         ts = []
@@ -54,13 +68,25 @@ def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3):
             out = step(*args, np.int32(salt + rep), nr)
             np.asarray(jax_tree_first(out))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts), max(ts) - min(ts)
 
-    timed(r_lo, 0)  # compile + warm both programs
-    timed(r_hi, 0)
-    t_lo = timed(r_lo, 100)
-    t_hi = timed(r_hi, 100)
-    return max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
+    timed(r_lo, 0)  # compile + warm the low-rep program
+    salt = 100
+    while True:
+        timed(r_hi, 0)  # compile + warm the high-rep program
+        t_lo, j_lo = timed(r_lo, salt)
+        t_hi, j_hi = timed(r_hi, salt)
+        diff = t_hi - t_lo
+        noise = max(j_lo, j_hi, TIMER_NOISE_FLOOR)
+        if diff > 5 * noise:
+            return diff / (r_hi - r_lo)
+        if r_hi >= max_r_hi:
+            raise NoiseDominatedError(
+                f"rep-differenced interval noise-dominated at r_hi={r_hi}: "
+                f"diff={diff:.3e}s vs 5*noise={5 * noise:.3e}s — refusing to "
+                "emit a clamped value")
+        r_hi = min(r_hi * 4, max_r_hi)
+        salt += 100
 
 
 def jax_tree_first(tree):
@@ -71,11 +97,14 @@ def jax_tree_first(tree):
 
 
 def emit(metric, value, unit, baseline):
+    value = float(value)
+    if not np.isfinite(value) or value <= 0:
+        raise ValueError(f"{metric}: non-finite/non-positive value {value!r}")
     print(json.dumps({
         "metric": metric,
-        "value": round(float(value), 4),
+        "value": round(value, 4),
         "unit": unit,
-        "vs_baseline": round(float(value) / baseline, 3),
+        "vs_baseline": round(value / baseline, 3),
     }), flush=True)
 
 
@@ -273,14 +302,20 @@ def bench_qpsk_demod_batch(B=256, nsyms=1024, osr=4, amble_len=32,
 
     @functools.partial(jax.jit, static_argnames=("n_reps",))
     def step(xri, salt, n_reps):
-        outs = []
-        for i in range(n_reps):
-            xb = jax.lax.complex(xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
+        # scan over reps: this chain is ~60 us/rep, so the harness escalates
+        # to large rep counts — a scan keeps the program constant-size where
+        # an unrolled body would explode compile time.
+        def body(acc, i):
+            xb = jax.lax.complex(
+                xri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
+                xri[1])
             res = d.demod_batch(xb, osr, jnp.asarray(amble),
                                 search_start=0, search_len=search_len,
                                 num_out_syms=nsyms - amble_len - search_len)
-            outs.append(jnp.sum(res.best_matches))
-        return jnp.stack(outs).astype(jnp.float32)
+            return acc + jnp.sum(res.best_matches).astype(jnp.float32), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(n_reps, dtype=jnp.float32))
+        return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
     dt = rep_differenced(step, d_x)
@@ -333,20 +368,23 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
 
     @functools.partial(jax.jit, static_argnames=("n_reps",))
     def step(yri, salt, n_reps):
-        outs = []
-        for i in range(n_reps):
-            yb = jax.lax.complex(yri[0] * (1.0 + 1e-7 * (salt + i)), yri[1])
+        def one(yrow):
+            paths, metrics = _viterbi_run(
+                yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
+                jnp.asarray(pulse), jnp.asarray(omegas),
+                jnp.asarray(start_mask), up=up, pulselen=up, k_syms=1,
+                pathlen=nsyms)
+            return metrics[jnp.argmin(metrics)]
 
-            def one(yrow):
-                paths, metrics = _viterbi_run(
-                    yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
-                    jnp.asarray(pulse), jnp.asarray(omegas),
-                    jnp.asarray(start_mask), up=up, pulselen=up, k_syms=1,
-                    pathlen=nsyms)
-                return metrics[jnp.argmin(metrics)]
-
-            outs.append(jnp.sum(jax.vmap(one)(yb)))
-        return jnp.stack(outs)
+        # scan over reps (constant program size under harness escalation)
+        def body(acc, i):
+            yb = jax.lax.complex(
+                yri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
+                yri[1])
+            return acc + jnp.sum(jax.vmap(one)(yb)), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(n_reps, dtype=jnp.float32))
+        return acc
 
     d_y = jax.device_put(jnp.asarray(y_ri))
     dt = rep_differenced(step, d_y)
