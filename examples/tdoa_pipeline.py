@@ -128,6 +128,32 @@ def main():
     print(f"geoloc: grid peak at x={xr[ij[1]]:.0f} m, y={xr[ij[0]]:.0f} m "
           f"(true {tgt[0]:.0f}, {tgt[1]:.0f})")
 
+    # -- 6. TDOA -> hyperboloid -> WGS84 ground curve ------------------------
+    # Two GEO relays observing one ground emitter: the measured TDOA defines
+    # a two-sheet hyperboloid with the satellites as foci; intersecting the
+    # correct sheet with the WGS84 spheroid yields the ground-position curve
+    # (reference hyperboloidRoutines.py:346 intersectOblateSpheroid).
+    from pydsproutines_tpu.estimation.geometry import Hyperboloid
+    a_wgs, b_wgs = 6378137.0, 6356752.314245
+    lat, lon = np.deg2rad(35.0), np.deg2rad(127.0)
+    e2 = 1 - (b_wgs / a_wgs) ** 2
+    nrad = a_wgs / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+    emitter = np.array([nrad * np.cos(lat) * np.cos(lon),
+                        nrad * np.cos(lat) * np.sin(lon),
+                        nrad * (1 - e2) * np.sin(lat)])
+    r_geo = 42164e3
+    sat1 = r_geo * np.array([np.cos(np.deg2rad(116.0)),
+                             np.sin(np.deg2rad(116.0)), 0.0])
+    sat2 = r_geo * np.array([np.cos(np.deg2rad(113.0)),
+                             np.sin(np.deg2rad(113.0)), 0.0])
+    td_meas = (np.linalg.norm(sat2 - emitter)
+               - np.linalg.norm(sat1 - emitter)) / c  # would come from xcorr
+    hyp = Hyperboloid.from_foci(sat1, sat2, td_meas * c)
+    curve, _ = hyp.intersect_oblate_spheroid(num_pts=500)
+    dmin = np.linalg.norm(curve - emitter[:, None], axis=0).min()
+    print(f"ground: hyperboloid x WGS84 curve has {curve.shape[1]} points, "
+          f"passes {dmin / 1e3:.1f} km from the true emitter")
+
 
 if __name__ == "__main__":
     main()

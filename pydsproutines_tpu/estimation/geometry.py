@@ -184,6 +184,146 @@ class Hyperboloid:
             return msheet
         return msheet, self._intersect_xy_sheet(v, 1)
 
+    # -- oblate-spheroid intersection (TDOA ground-curve) ---------------------
+    #
+    # Reference semantics: hyperboloidRoutines.py:346 intersectOblateSpheroid,
+    # :283 coefficient generation, :222 _intersectOblateSpheroidLoop (per-v
+    # np.roots + Descartes pre-check), :371-394 refineMiddle stitching.
+    # Re-derivation used here: a point on the (-) sheet at parameter v is
+    # p(theta) = Rot @ (a sinh v cos t, a sinh v sin t, -c cosh v) + mu, so
+    # each world component is u0_k cos t + u1_k sin t + u2_k.  Substituting
+    # t = tan(theta/2) turns the spheroid constraint
+    # lmbda^2 (X^2 + Y^2) + omega^2 Z^2 = omega^2 lmbda^2 into a quartic in t
+    # per v.  Instead of looping np.roots per v, all quartics are solved at
+    # once as a batch of 4x4 companion-matrix eigenproblems.
+
+    def _spheroid_quartic_coeffs(self, v, omega, lmbda):
+        """Ascending-order quartic coefficients, shape (5, len(v))."""
+        v = np.asarray(v, dtype=np.float64)
+        sinhv, coshv = np.sinh(v), np.cosh(v)
+        a_sinh = self.a * sinhv
+        z_sheet = -self.c * coshv  # the sheet matching the rangediff sign
+        # world component k of p(theta): ck*cos + sk*sin + dk
+        c_k = self.Rot[:, 0:1] * a_sinh[None, :]        # (3, N)
+        s_k = self.Rot[:, 1:2] * a_sinh[None, :]
+        d_k = self.Rot[:, 2:3] * z_sheet[None, :] + self.mu.reshape(3, 1)
+        # Weierstrass: (1+t^2) * comp = p2 t^2 + p1 t + p0
+        p2 = d_k - c_k
+        p1 = 2.0 * s_k
+        p0 = d_k + c_k
+
+        def sq(p0k, p1k, p2k):
+            # ascending coefficients of (p2 t^2 + p1 t + p0)^2, shape (5, N)
+            return np.stack([p0k ** 2, 2 * p0k * p1k, p1k ** 2 + 2 * p0k * p2k,
+                             2 * p1k * p2k, p2k ** 2])
+
+        w2l2 = omega ** 2 * lmbda ** 2
+        tc = (lmbda ** 2 * (sq(p0[0], p1[0], p2[0]) + sq(p0[1], p1[1], p2[1]))
+              + omega ** 2 * sq(p0[2], p1[2], p2[2]))
+        tc[0] -= w2l2
+        tc[2] -= 2 * w2l2
+        tc[4] -= w2l2
+        return tc
+
+    @staticmethod
+    def _batched_quartic_roots(tc):
+        """Roots of many quartics at once via companion eigenvalues.
+
+        ``tc``: ascending coefficients, shape (5, N). Returns complex (N, 4);
+        rows whose leading coefficient is degenerate come back as NaN.
+        """
+        n = tc.shape[1]
+        lead = tc[4]
+        scale = np.max(np.abs(tc), axis=0)
+        ok = np.abs(lead) > 1e-14 * np.maximum(scale, 1.0)
+        mono = np.where(ok, lead, 1.0)
+        a = tc[:4] / mono  # (4, N) monic remainder
+        comp = np.zeros((n, 4, 4))
+        comp[:, 1, 0] = comp[:, 2, 1] = comp[:, 3, 2] = 1.0
+        comp[:, :, 3] = -a.T
+        roots = np.linalg.eigvals(comp)
+        roots[~ok] = np.nan
+        return roots
+
+    def _estimate_spheroid_v(self, omega, lmbda):
+        """Bracket the v-range where the sheet can reach the spheroid
+        (reference _estimateSpheroidV, hyperboloidRoutines.py:268)."""
+        foci_mid = np.mean(self.foci, axis=1)
+        pzero = self.inverse_transform(np.zeros((3, 1)))
+        vmid = np.arcsinh(np.sqrt(np.sum(pzero[:2] ** 2) / self.a ** 2))
+        outer = max(omega, lmbda) * foci_mid / np.linalg.norm(foci_mid)
+        pouter = self.inverse_transform(outer.reshape(3, 1))
+        vout = np.arcsinh(np.sqrt(np.sum(pouter[:2] ** 2) / self.a ** 2))
+        return vout, vmid
+
+    def _intersect_spheroid_branches(self, v, omega, lmbda):
+        """Per-v real-root extraction -> (theta_lo, v_lo, theta_hi, v_hi).
+
+        ``lo`` carries the smaller theta root for every v with >=1 real root
+        (the reference's "minus" list), ``hi`` the larger root where two
+        exist (the "plus" list).
+        """
+        v = np.asarray(v, dtype=np.float64)
+        tc = self._spheroid_quartic_coeffs(v, omega, lmbda)
+        roots = self._batched_quartic_roots(tc)  # (N, 4)
+        real_ok = np.isfinite(roots.real) & (
+            np.abs(roots.imag) <= 1e-8 * (1.0 + np.abs(roots.real)))
+        theta = 2.0 * np.arctan(roots.real)
+        # verify candidates by residual on the spheroid (guards against
+        # eigenvalue jitter promoting a complex pair to "real")
+        xs = self.x(v[:, None], theta)
+        ys = self.y(v[:, None], theta)
+        zs = np.broadcast_to(self.z(v, -1)[:, None], theta.shape)
+        pts = self.transform(
+            np.stack([xs.ravel(), ys.ravel(), zs.ravel()]))
+        resid = np.abs(
+            (pts[0] ** 2 + pts[1] ** 2) / omega ** 2
+            + pts[2] ** 2 / lmbda ** 2 - 1.0).reshape(theta.shape)
+        good = real_ok & (resid < 1e-6)
+        count = good.sum(axis=1)
+        th_lo = np.where(good, theta, np.inf).min(axis=1)
+        th_hi = np.where(good, theta, -np.inf).max(axis=1)
+        has1, has2 = count >= 1, count >= 2
+        return th_lo[has1], v[has1], th_hi[has2], v[has2]
+
+    def intersect_oblate_spheroid(self, v: np.ndarray | None = None,
+                                  omega: float = 6378137.0,
+                                  lmbda: float = 6356752.314245,
+                                  num_pts: int = 100,
+                                  refine_middle: bool = True):
+        """Intersection curve of the rangediff sheet with a centre-origin
+        oblate spheroid (default WGS84) — the TDOA ground-position curve.
+
+        Returns ``(points, v_used)`` with ``points`` shaped (3, M), ordered
+        as one continuous curve (lo branch by descending v, then the refined
+        middle, then the hi branch by ascending v), matching the reference
+        stitching (hyperboloidRoutines.py:396-405).
+        """
+        if v is None:
+            vout, vmid = self._estimate_spheroid_v(omega, lmbda)
+            v = np.linspace(0.9 * vout, vmid, num_pts)
+        # ascending v makes the branch stitching below a continuous curve
+        # regardless of the bracket direction the estimator produced
+        v = np.sort(np.asarray(v, dtype=np.float64))
+        th_lo, v_lo, th_hi, v_hi = self._intersect_spheroid_branches(
+            v, omega, lmbda)
+
+        if refine_middle and v_hi.size >= 2:
+            vspace = v_hi[1] - v_hi[0]
+            vext = np.linspace(v_hi[0] - vspace, v_hi[0],
+                               max(num_pts // 2, 2), endpoint=False)
+            eth_lo, ev_lo, eth_hi, ev_hi = self._intersect_spheroid_branches(
+                vext, omega, lmbda)
+            thetas = np.hstack((th_lo[::-1], eth_lo[::-1], eth_hi, th_hi))
+            ve = np.hstack((v_lo[::-1], ev_lo[::-1], ev_hi, v_hi))
+        else:
+            thetas = np.hstack((th_lo[::-1], th_hi))
+            ve = np.hstack((v_lo[::-1], v_hi))
+
+        pts = np.vstack((self.x(ve, thetas), self.y(ve, thetas),
+                         self.z(ve, -1)))
+        return self.transform(pts), ve
+
     @classmethod
     def from_foci(cls, s1: np.ndarray, s2: np.ndarray, rangediff: float):
         """Hyperboloid sheet of constant range difference

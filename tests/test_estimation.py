@@ -372,3 +372,51 @@ def test_transceiver_family():
     assert hyp.shape == (101, 3)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_hyperboloid_intersect_oblate_spheroid_small():
+    """Curve points lie on both the spheroid and the rangediff sheet
+    (reference intersectOblateSpheroid, hyperboloidRoutines.py:346)."""
+    s1 = np.array([-3.0, 0.2, 0.5])
+    s2 = np.array([3.0, -0.4, 0.1])
+    rangediff = 0.8
+    h = Hyperboloid.from_foci(s1, s2, rangediff)
+    omega, lmbda = 1.0, 0.9
+    pts, ve = h.intersect_oblate_spheroid(None, omega, lmbda, num_pts=200)
+    assert pts.shape[1] > 50
+    res = (pts[0] ** 2 + pts[1] ** 2) / omega ** 2 + pts[2] ** 2 / lmbda ** 2
+    assert np.abs(res - 1.0).max() < 1e-9
+    rd = (np.linalg.norm(s2[:, None] - pts, axis=0)
+          - np.linalg.norm(s1[:, None] - pts, axis=0))
+    assert np.abs(rd - rangediff).max() < 1e-9
+
+
+def test_hyperboloid_intersect_wgs84_ground_curve():
+    """TDOA hyperboloid from two GEO satellites through a known ground
+    emitter: the WGS84 intersection curve passes near the emitter."""
+    a, b = 6378137.0, 6356752.314245
+    lat, lon = np.deg2rad(35.0), np.deg2rad(127.0)
+    e2 = 1 - (b / a) ** 2
+    nrad = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+    emitter = np.array([nrad * np.cos(lat) * np.cos(lon),
+                        nrad * np.cos(lat) * np.sin(lon),
+                        nrad * (1 - e2) * np.sin(lat)])
+    r_geo = 42164e3
+    sat1 = r_geo * np.array([np.cos(np.deg2rad(116.0)),
+                             np.sin(np.deg2rad(116.0)), 0.0])
+    sat2 = r_geo * np.array([np.cos(np.deg2rad(113.0)),
+                             np.sin(np.deg2rad(113.0)), 0.0])
+    rd_true = np.linalg.norm(sat2 - emitter) - np.linalg.norm(sat1 - emitter)
+    h = Hyperboloid.from_foci(sat1, sat2, rd_true)
+    pts, ve = h.intersect_oblate_spheroid(num_pts=500)
+    assert pts.shape[1] > 100
+    # every curve point on the WGS84 surface
+    res = (pts[0] ** 2 + pts[1] ** 2) / a ** 2 + pts[2] ** 2 / b ** 2
+    assert np.abs(res - 1.0).max() < 1e-9
+    # and on the hyperboloid sheet (rangediff preserved to sub-micron)
+    rdc = (np.linalg.norm(sat2[:, None] - pts, axis=0)
+           - np.linalg.norm(sat1[:, None] - pts, axis=0))
+    assert np.abs(rdc - rd_true).max() < 1e-3
+    # curve passes within one v-grid step of the true emitter
+    dmin = np.linalg.norm(pts - emitter[:, None], axis=0).min()
+    assert dmin < 50e3
