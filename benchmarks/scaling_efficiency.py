@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Weak-scaling efficiency of the multi-process layer on a CPU cluster.
+
+BASELINE.md's north star asks for "samples/s scaling efficiency measured at
+1 chip, 1 host, and N>=2 hosts". Real pod hardware is unavailable in this
+environment (one v5e chip behind a tunnel), so this harness establishes the
+*methodology* on the same code paths the pod would run: gloo collectives
+across real OS processes, each process holding 2 virtual CPU devices, the
+identical shard_map programs (`sharded_wola` halo exchange + `sharded_caf_peak`
+shift sharding) that the driver's dryrun compiles for the TPU mesh.
+
+Weak scaling: per-process work is FIXED (each process owns the same number of
+capture samples and the same number of CAF shifts); the global problem grows
+with the process count. Ideal efficiency = t(1 proc) / t(N proc) = 1.0.
+
+Usage:
+    python benchmarks/scaling_efficiency.py [--samples-per-proc 2097152]
+        [--shifts-per-proc 256] [--cutout 4096] [--reps 3] [--out SCALING.json]
+
+Writes one JSON artifact with per-workload times and efficiencies, and prints
+it. Each timing is the max across processes (slowest worker) of the min
+across reps, with a collective barrier before the timed region so process
+skew doesn't leak into the measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, os, sys, time
+cfg = json.loads(sys.argv[1])
+proc, nproc = cfg["proc"], cfg["nproc"]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+if nproc > 1:
+    jax.distributed.initialize(coordinator_address="127.0.0.1:%d" % cfg["port"],
+                               num_processes=nproc, process_id=proc)
+sys.path.insert(0, cfg["repo"])
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from pydsproutines_tpu.parallel.multihost import flat_mesh, shard_local_blocks
+from pydsproutines_tpu.parallel import sharded_wola
+from pydsproutines_tpu.parallel.xcorr import sharded_caf_peak
+
+mesh = flat_mesh("dsp")
+nlocal = cfg["samples_per_proc"]
+shifts_local = cfg["shifts_per_proc"]
+cutlen = cfg["cutout"]
+reps = cfg["reps"]
+
+rng = np.random.default_rng(100 + proc)
+x_local = (rng.standard_normal(nlocal) + 1j * rng.standard_normal(nlocal)
+           ).astype(np.complex64)
+gx = shard_local_blocks(x_local, mesh, "dsp")
+
+# rx for the CAF is replicated (every process must hold the same scene for
+# its shift range to slice into) — sized by the GLOBAL shift span, fixed per
+# process count so per-process CAF work is constant
+rng0 = np.random.default_rng(7)
+total_shifts = shifts_local * nproc
+rxlen = cutlen + total_shifts + 16
+rx = (rng0.standard_normal(rxlen) + 1j * rng0.standard_normal(rxlen)
+      ).astype(np.complex64)
+cut = rx[100:100 + cutlen].copy()
+rep_sharding = NamedSharding(mesh, P())
+g_rx = jax.make_array_from_callback(rx.shape, rep_sharding, lambda idx: rx[idx])
+g_cut = jax.make_array_from_callback(cut.shape, rep_sharding,
+                                     lambda idx: cut[idx])
+shifts = np.arange(total_shifts, dtype=np.int32)
+gshifts = shard_local_blocks(
+    shifts[proc * shifts_local:(proc + 1) * shifts_local], mesh, "dsp")
+
+f_tap = np.hanning(1024).astype(np.float32)
+dec, nch = 64, 64
+
+
+def barrier():
+    # a tiny all-reduce over the sharded shift array: every process must
+    # contribute its shard, so all processes align here before the timer
+    z = jax.jit(jnp.sum)(gshifts)
+    jax.block_until_ready(z)
+
+
+def timed(fn, *args):
+    out = fn(*args)              # compile + warm
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        barrier()
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+t_wola = timed(lambda: sharded_wola(jnp.asarray(f_tap), gx, dec, nch,
+                                    mesh, "dsp"))
+t_caf = timed(lambda: sharded_caf_peak(g_cut, g_rx, gshifts, mesh, "dsp",
+                                       batch_size=64))
+res = dict(proc=proc, nproc=nproc, t_wola=t_wola, t_caf=t_caf)
+with open(os.path.join(cfg["outdir"], "scal_%d_%d.json" % (nproc, proc)),
+          "w") as f:
+    json.dump(res, f)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_cluster(nproc: int, cfg_base: dict, outdir: Path,
+                cores_per_proc: int) -> dict:
+    """Launch nproc workers, return {'t_wola': slowest, 't_caf': slowest}.
+
+    Each worker is pinned to its own disjoint ``cores_per_proc``-wide CPU set
+    (taskset): per-process host resources are IDENTICAL at every process
+    count, so the 1-vs-N ratio isolates communication overhead instead of
+    measuring how many host cores a lone process can grab.
+    """
+    script = outdir / "scaling_worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    port = _free_port()
+    procs = []
+    for i in range(nproc):
+        cfg = dict(cfg_base, proc=i, nproc=nproc, port=port,
+                   outdir=str(outdir), repo=str(REPO))
+        lo = i * cores_per_proc
+        pin = ["taskset", "-c", f"{lo}-{lo + cores_per_proc - 1}"]
+        procs.append(subprocess.Popen(
+            pin + [sys.executable, str(script), json.dumps(cfg)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out[-3000:]}")
+    results = [json.loads((outdir / f"scal_{nproc}_{i}.json").read_text())
+               for i in range(nproc)]
+    return {"t_wola": max(r["t_wola"] for r in results),
+            "t_caf": max(r["t_caf"] for r in results)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples-per-proc", type=int, default=2_097_152)
+    ap.add_argument("--shifts-per-proc", type=int, default=256)
+    ap.add_argument("--cutout", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--nprocs", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--out", default=str(REPO / "SCALING.json"))
+    args = ap.parse_args(argv)
+
+    cfg_base = dict(samples_per_proc=args.samples_per_proc,
+                    shifts_per_proc=args.shifts_per_proc,
+                    cutout=args.cutout, reps=args.reps)
+    ncores = os.cpu_count() or 1
+    cores_per_proc = max(1, ncores // max(args.nprocs))
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        times = {n: run_cluster(n, cfg_base, Path(td), cores_per_proc)
+                 for n in args.nprocs}
+
+    base = times[args.nprocs[0]]
+    report = {
+        "harness": "weak-scaling on a gloo CPU cluster (2 virtual devices "
+                   "per process); per-process work fixed; efficiency = "
+                   "t(1 proc)/t(N proc), ideal 1.0",
+        "config": dict(cfg_base, cores_per_proc=cores_per_proc),
+        "wall_seconds": round(time.time() - t0, 1),
+        "workloads": {},
+    }
+    for wl in ("t_wola", "t_caf"):
+        name = {"t_wola": "sharded_wola_64ch",
+                "t_caf": "sharded_caf_peak"}[wl]
+        entry = {f"t_{n}proc_s": round(times[n][wl], 4) for n in args.nprocs}
+        for n in args.nprocs[1:]:
+            entry[f"efficiency_{n}proc"] = round(base[wl] / times[n][wl], 3)
+        report["workloads"][name] = entry
+
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()
