@@ -38,13 +38,14 @@ class CheckpointedXcorrPipeline:
 
     def __init__(self, db: XcorrDB, table: str, template: np.ndarray,
                  fs: float, fc: float = 0.0, block_shifts: int = 1024,
-                 batch_size: int = 128):
+                 batch_size: int = 128, metrics=None):
         self.db = db
         self.table = table
         self.template = template
         self.fs = fs
         self.block_shifts = int(block_shifts)
         self.batch_size = int(batch_size)
+        self.metrics = metrics  # utils.metrics.MetricsSink or None
         db.create_xcorr_results_table(
             table, fc, int(fs), "rx", "template", XcorrDB.TYPE_1D,
             desc=b"checkpointed block xcorr")
@@ -78,20 +79,33 @@ class CheckpointedXcorrPipeline:
         nblocks = self.num_blocks(int(rx.shape[-1]))
         done = self.completed_blocks()
         computed = 0
+        import time as _time
         for bi in range(nblocks):
             if bi in done:
                 continue
+            t0 = _time.perf_counter()
             s0 = bi * self.block_shifts
             shifts = np.arange(s0, s0 + self.block_shifts)
             qf2, freqs = fast_xcorr(template, rx, freqsearch=True,
                                     shifts=jnp.asarray(shifts),
                                     batch_size=self.batch_size)
+            qf2_np, freqs_np = np.asarray(qf2), np.asarray(freqs)
             self.db.insert_1d_result(self.table, self._base(bi),
-                                     np.asarray(qf2), np.asarray(freqs))
+                                     qf2_np, freqs_np)
             computed += 1
+            peak = float(np.max(qf2_np)) if qf2_np.size else 0.0
+            if self.metrics is not None:
+                # np.asarray above forced device completion, so the wall
+                # clock covers the real block (SURVEY.md §5 observability)
+                self.metrics.emit("xcorr.block_seconds",
+                                  _time.perf_counter() - t0, unit="s",
+                                  block=bi, nblocks=nblocks, peak_qf2=peak)
             if progress:
                 print(f"block {bi + 1}/{nblocks} done "
-                      f"(peak QF2 {float(np.max(np.asarray(qf2))):.3f})")
+                      f"(peak QF2 {peak:.3f})")
+        if self.metrics is not None and computed:
+            self.metrics.emit("xcorr.blocks_completed",
+                              len(self.completed_blocks()), nblocks=nblocks)
         return computed
 
     def peak(self):

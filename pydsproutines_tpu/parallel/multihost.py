@@ -218,6 +218,26 @@ class Heartbeat:
         return sorted(set(stale))
 
 
+def cluster_progress(hb_dir, timeout: float = 30.0,
+                     expected: int | None = None) -> dict:
+    """One queryable snapshot of cluster state from the heartbeat beacons:
+    per-process progress payloads + who is stale. This is the supervisor
+    surface consuming Heartbeat.beat(progress=...) (round-2 review: the
+    beacons existed but nothing read them)."""
+    hb = Heartbeat(hb_dir, process_id=-1)
+    now = time.time()
+    beacons = hb.read_all()
+    procs = {
+        pid: {"age_s": round(now - float(d["time"]), 3),
+              "progress": d.get("progress", {})}
+        for pid, d in beacons.items() if pid >= 0}
+    stale = [pid for pid, d in procs.items() if d["age_s"] > timeout]
+    if expected is not None:
+        stale += [pid for pid in range(expected) if pid not in procs]
+    return {"processes": procs, "stale": sorted(set(stale)),
+            "alive": sorted(pid for pid in procs if pid not in stale)}
+
+
 def run_elastic(pipeline, rx, heartbeat: Heartbeat | None = None,
                 max_restarts: int = 2, progress: bool = False) -> int:
     """Drive a CheckpointedXcorrPipeline to completion with liveness beacons
@@ -240,7 +260,11 @@ def run_elastic(pipeline, rx, heartbeat: Heartbeat | None = None,
             return total
         except KeyboardInterrupt:
             raise
-        except Exception:
+        except Exception as e:
             attempts += 1
+            metrics = getattr(pipeline, "metrics", None)
+            if metrics is not None:
+                metrics.emit("elastic.restart", attempts,
+                             error=type(e).__name__)
             if attempts > max_restarts:
                 raise
