@@ -3,13 +3,13 @@
 Reference semantics: /root/reference/musicRoutines.py (musicAlg :17,
 CovarianceTechnique :187, MUSIC :349, CAPON :471, ESPRIT :500).
 
-Implementation note: these are small-matrix (rows ~ 100) estimators whose core
-is a complex SVD/eig — not supported by the TPU's linear-algebra set and never
-the throughput path. The covariance assembly and Vandermonde pseudospectrum
-products are vectorized numpy (they run on host alongside the TPU pipeline);
-the heavy per-shift CAF work stays in the jax ops. This mirrors how the
-reference layers it: musicXcorr (xcorrRoutines.py:378) downsamples first and
-runs MUSIC on short snapshots.
+Implementation note: these are small-matrix (rows ~ 100) estimators. The
+standalone MUSIC/CAPON/ESPRIT classes are host numpy (they run alongside the
+TPU pipeline on short snapshots — the reference layers it the same way:
+musicXcorr, xcorrRoutines.py:378, downsamples first). The throughput path,
+``music_xcorr_device``, runs fully on device: batched covariances, a vmapped
+Hermitian eigh (XLA's matmul-based QDWH algorithm on TPU), and the
+pseudospectrum products, with only the final grids fetched to host.
 """
 
 from __future__ import annotations
@@ -265,13 +265,61 @@ def _device_cov_fn(n: int, taps_len: int, dsr: int, rows: int,
     return impl
 
 
+def _device_music_grid_fn(rows: int, plist, f_norm, use_signal_as_numerator):
+    """Jitted batched eig + pseudospectrum over per-shift covariances.
+
+    The eigendecomposition is a vmapped ``jnp.linalg.eigh`` — on TPU XLA
+    lowers Hermitian eigh to its matmul-based QDWH spectral algorithm, so the
+    whole estimator stays on device (round-2 review: the host SVD round-trip
+    per burst was the cap on MUSIC-based xcorr throughput).
+
+    eigh returns eigenvalues ASCENDING; the SVD convention in
+    ``_pseudospectrum`` is descending. The pseudospectrum depends only on the
+    two subspace projectors, which are basis-invariant, so reversing the
+    column order reproduces the host path exactly up to float error.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    plist = [int(p) for p in np.atleast_1d(plist)]
+    eh = np.exp(-2j * np.pi * np.asarray(f_norm).reshape(-1, 1)
+                * np.arange(rows)).astype(np.complex64)
+
+    @jax.jit
+    def impl(covs):
+        w, v = jax.vmap(jnp.linalg.eigh)(covs)      # ascending eigenvalues
+        w_desc = w[:, ::-1]
+        v_desc = v[:, :, ::-1]
+        ehb = jnp.asarray(eh)
+
+        grids = []
+        for p in plist:
+            d = jnp.einsum("fr,srk->sfk", ehb, v_desc[:, :, p:])
+            denom = jnp.sum(jnp.abs(d) ** 2, axis=-1)
+            if use_signal_as_numerator:
+                ssp = w_desc[:, :p] ** -0.5          # (S, p)
+                n = jnp.einsum("fr,srk,sk->sfk", ehb, v_desc[:, :, :p], ssp)
+                numer = jnp.sum(jnp.abs(n) ** 2, axis=-1)
+            else:
+                numer = 1.0
+            grids.append(numer / denom)
+        return jnp.stack(grids)                      # (len(plist), S, F)
+
+    return impl
+
+
 def music_xcorr_device(cutout, rx, f_search, ftap, fs: float, dsr: int,
                        plist, musicrows: int = 130, shifts=None,
-                       use_signal_as_numerator: bool = True):
-    """music_xcorr with the per-shift heavy lifting (modulate, FIR,
-    polyphase downsample, snapshot covariance) batched on device; only the
-    (rows, rows) covariance eigendecompositions run on host (no complex SVD
-    on TPU). Matches music_xcorr's output grid.
+                       use_signal_as_numerator: bool = True,
+                       eig_on_device: bool = True):
+    """music_xcorr with everything on device: modulate, FIR, polyphase
+    downsample, snapshot covariance, batched Hermitian eig, and the
+    Vandermonde pseudospectrum products run in two jitted programs; only the
+    final (num_shifts, len(f_search)) grids come back to host. Matches
+    music_xcorr's output grid.
+
+    ``eig_on_device=False`` restores the host np.linalg.svd per-shift path
+    (kept as the parity oracle and for platforms without a usable eigh).
 
     Reference: musicXcorr (/root/reference/xcorrRoutines.py:378), which loops
     shifts in python and filters with scipy per shift.
@@ -290,10 +338,17 @@ def music_xcorr_device(cutout, rx, f_search, ftap, fs: float, dsr: int,
 
     fn = _device_cov_fn(len(cutout), len(ftap), int(dsr), int(musicrows),
                         len(shifts), fwd_bwd=True)
-    covs = np.asarray(fn(jnp.asarray(np.conj(cutout)), jnp.asarray(rx_np),
-                         jnp.asarray(shifts.astype(np.int32)),
-                         jnp.asarray(ftap)))
+    covs = fn(jnp.asarray(np.conj(cutout)), jnp.asarray(rx_np),
+              jnp.asarray(shifts.astype(np.int32)), jnp.asarray(ftap))
 
+    if eig_on_device:
+        grid_fn = _device_music_grid_fn(int(musicrows), plist,
+                                        f_search / fs_ds,
+                                        use_signal_as_numerator)
+        grids = np.asarray(grid_fn(covs))
+        return {int(p): grids[k] for k, p in enumerate(plist)}
+
+    covs = np.asarray(covs)
     resultsgrid = {int(p): np.zeros((len(shifts), len(f_search)))
                    for p in plist}
     for i in range(len(shifts)):

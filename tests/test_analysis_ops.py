@@ -263,3 +263,44 @@ def test_music_xcorr_device_matches_host(rng):
     i, j = np.unravel_index(np.argmax(dev[1]), dev[1].shape)
     assert shifts[i] == 8
     assert abs(f_search[j] - f0) <= 10.0
+
+
+def test_music_device_eig_matches_host_svd(rng):
+    """On-device vmapped eigh == per-shift host np.linalg.svd on the SAME
+    covariances (round-2 review #7: remove the host SVD round-trip). The
+    pseudospectrum depends only on subspace projectors, so eigenvector
+    basis/phase freedom cancels."""
+    from pydsproutines_tpu.ops.music import music_xcorr_device
+    fs = 1e4
+    dsr = 4
+    n = 512 + 16
+    t = np.arange(n) / fs
+    cutout = np.exp(2j * np.pi * 100.0 * t).astype(np.complex64)
+    rx = np.zeros(n + 32, dtype=np.complex64)
+    # two distinct-power dopplers: the p=1 AND p=2 signal subspaces are then
+    # both well-separated from the noise cluster (with a single signal, the
+    # second "signal" eigenvector is an arbitrary noise direction and svd vs
+    # eigh legitimately disagree)
+    rx[8: 8 + n] = cutout * (np.exp(2j * np.pi * 300.0 * t)
+                             + 0.5 * np.exp(2j * np.pi * 360.0 * t))
+    rx += 0.01 * (rng.standard_normal(n + 32)
+                  + 1j * rng.standard_normal(n + 32))
+    import scipy.signal as sps
+    ftap = sps.firwin(32, 0.8 / dsr).astype(np.float32)
+    f_search = np.linspace(200.0, 400.0, 21)
+    shifts = np.arange(6, 11)
+    kw = dict(musicrows=32, shifts=shifts)
+    for p in ([1], [1, 2]):
+        dev = music_xcorr_device(cutout, rx, f_search, ftap, fs, dsr, p, **kw)
+        host = music_xcorr_device(cutout, rx, f_search, ftap, fs, dsr, p,
+                                  eig_on_device=False, **kw)
+        for pi in p:
+            # the pseudospectrum peak divides by a near-zero noise
+            # projection, so its VALUE is ill-conditioned in c64; the
+            # inverse grid is the well-conditioned quantity to compare,
+            # and the peak location must agree exactly
+            np.testing.assert_allclose(
+                1.0 / dev[pi], 1.0 / host[pi], rtol=1e-3,
+                atol=1e-6 * np.max(1.0 / host[pi]))
+            assert (np.unravel_index(np.argmax(dev[pi]), dev[pi].shape)
+                    == np.unravel_index(np.argmax(host[pi]), host[pi].shape))
