@@ -220,6 +220,23 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
     return out.reshape(rows, nblocks * cols)[:, :n_out]
 
 
+def _upfirdn_planes_dispatch(planes: jnp.ndarray, taps_r: jnp.ndarray,
+                             up: int, down: int, n_out: int) -> jnp.ndarray:
+    """Real-tap planes core: fused Pallas kernel on TPU (windows built in
+    VMEM — no im2col HBM pass), XLA banded matmul elsewhere / for odd
+    shapes. Both compute the identical gp-block polyphase math."""
+    if (planes.shape[0] <= 2 and jnp.float32 == planes.dtype
+            and jax.devices()[0].platform == "tpu"):
+        from pydsproutines_tpu.ops.pallas.upfirdn import (
+            upfirdn_pallas_viable, _upfirdn_pallas_planes)
+        if upfirdn_pallas_viable(n_out, int(taps_r.shape[-1]), up, down):
+            p2 = planes if planes.shape[0] == 2 else jnp.concatenate(
+                [planes, jnp.zeros_like(planes)], axis=0)
+            out = _upfirdn_pallas_planes(p2, taps_r, up, down, n_out)
+            return out[: planes.shape[0]]
+    return _upfirdn_poly_planes(planes, taps_r, up, down, n_out)
+
+
 @functools.partial(jax.jit, static_argnames=("up", "down"))
 def upfirdn(taps: jnp.ndarray, x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
     """Upsample-filter-downsample identical to scipy.signal.upfirdn
@@ -242,8 +259,8 @@ def upfirdn(taps: jnp.ndarray, x: jnp.ndarray, up: int, down: int) -> jnp.ndarra
     else:
         planes = x2.astype(rdt)
     if not t_cplx:
-        y = _upfirdn_poly_planes(planes, jnp.asarray(taps).astype(rdt),
-                                 up, down, n_out)
+        y = _upfirdn_planes_dispatch(planes, jnp.asarray(taps).astype(rdt),
+                                     up, down, n_out)
         if x_cplx:
             out = jax.lax.complex(y[:rows], y[rows:])
         else:
@@ -259,6 +276,41 @@ def upfirdn(taps: jnp.ndarray, x: jnp.ndarray, up: int, down: int) -> jnp.ndarra
             out = jax.lax.complex(yr, yi)
     out = out.astype(jnp.result_type(x2.dtype, taps.dtype))
     return out[0] if squeeze else out
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def fir_upfirdn(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray, x: jnp.ndarray,
+                up: int, down: int) -> jnp.ndarray:
+    """Fused FIR filter + polyphase resample in ONE memory pass.
+
+    Algebraic identity: upsampling commutes with convolution
+    (up(a) * up(b) = up(a conv b) at the nonzero taps), so the chain
+    ``upfirdn(rs_taps, lfilter_fir(fir_taps, x), up, down)`` equals a single
+    upfirdn with combined taps conv(upsample(fir_taps, up), rs_taps). This is
+    the TPU analogue of the reference's fused decimating FIR kernels
+    (/root/reference/custom_kernels/filter.cu:9 fuses filter+downsample).
+
+    Output length matches the two-op chain. The fused form applies the FULL
+    FIR convolution — the chain's lfilter truncates the FIR tail, so the last
+    ceil((len(rs_taps) - 1) / down) output samples differ from the chain
+    (the fused values are the ones scipy's full-conv semantics produce);
+    everything before that is identical to float precision.
+    """
+    t1 = fir_taps.shape[-1]
+    t2 = rs_taps.shape[-1]
+    if (jnp.issubdtype(jnp.asarray(fir_taps).dtype, jnp.complexfloating)
+            or jnp.issubdtype(jnp.asarray(rs_taps).dtype,
+                              jnp.complexfloating)):
+        # rare complex-taps case: compose the two ops directly
+        return upfirdn(rs_taps, lfilter_fir(fir_taps, x), up, down)
+    h_up = jnp.zeros(t1 * up - (up - 1),
+                     jnp.asarray(fir_taps).dtype).at[::up].set(fir_taps)
+    # tap combination must be full f32: TPU conv defaults to bf16 passes
+    h_comb = jnp.convolve(h_up, jnp.asarray(rs_taps),
+                          precision=jax.lax.Precision.HIGHEST)
+    n_out = get_upfirdn_size(x.shape[-1], t2, up, down)  # chain-equivalent
+    full = upfirdn(h_comb, x, up, down)
+    return full[..., :n_out]
 
 
 class StreamUpfirdn:

@@ -1,0 +1,192 @@
+"""Pallas fused polyphase upfirdn: window construction stays in VMEM.
+
+Reference semantics: scipy-compatible upfirdn (custom_kernels/upfirdn.cu:69
+stages taps+input through CUDA shared memory). The XLA path
+(ops/filters._upfirdn_poly_planes) is matmul-bound at the f32 rate but pays a
+full HBM pass materializing the (blocks, W) window matrix; measured on v5e,
+that build is ~0.4 ms of a 0.98 ms 4M-sample op.
+
+Key identity: with gp = 128 phase periods per output block, the block stride
+is R = 128*S input samples — itself a multiple of 128 lanes — so viewing the
+padded input as rows of R samples makes block b's window exactly rows
+b..b+r-1. No im2col is ever built: the kernel DMAs Bt+r-1 consecutive rows
+per grid step and runs r MXU dots against row-aligned K parts,
+
+    out[b, c] = sum_j A_j[b, :w_j] @ K[j*R : j*R + w_j, c],  A_j = rows b+j.
+
+Outputs are (2, nsteps, Bt, cols) float planes with cols = 128*P, so the
+final time-major flatten is a free contiguous reshape (cols % 128 == 0 — the
+lane-alignment discipline from round 2).
+
+Precision: f32 with Precision.HIGHEST dots — parity-grade like the XLA path
+(HIGH measured 100x worse error; see benchmarks/exp_fir_breakdown.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_GP = 128          # phase periods per output block (fixes cols = 128*P)
+_BT = 128          # output blocks per grid step (MXU row dimension)
+
+
+def upfirdn_geometry(up: int, down: int):
+    """(P, S, cols, R) for the gp=128 block form."""
+    g = math.gcd(up, down)
+    P = up // g
+    S = down // g
+    return P, S, _GP * P, _GP * S
+
+
+def upfirdn_pallas_viable(n_out: int, taps_len: int, up: int, down: int,
+                          max_r: int = 4) -> bool:
+    P, S, cols, R = upfirdn_geometry(up, down)
+    Lh = -(-taps_len // up)
+    W = (_GP - 1) * S + Lh + ((P - 1) * down) // up
+    if W > max_r * R:
+        return False            # taps much longer than a block stride
+    if n_out < 2 * _BT * cols:
+        return False            # too small to amortize; XLA path is fine
+    if cols > 4096 or R > 4096:
+        return False            # VMEM budget (K parts + scratch + acc)
+    return True
+
+
+def _band_matrix(taps_r: np.ndarray | jnp.ndarray, up: int, down: int):
+    """The (W, cols) banded tap matrix of the gp=128 block form (same math
+    as ops/filters._upfirdn_poly_planes, fixed gp)."""
+    P, S, cols, R = upfirdn_geometry(up, down)
+    T = taps_r.shape[-1]
+    Lh = -(-T // up)
+    hpad = jnp.zeros(Lh * up, taps_r.dtype).at[:T].set(taps_r)
+    Hp = hpad.reshape(Lh, up).T               # Hp[p, l] = h[p + l*up]
+    c = np.arange(P)
+    p_c = (c * down) % up
+    qc_c = (c * down) // up
+    Lw = Lh + int(qc_c[-1])
+    W = (_GP - 1) * S + Lw
+    t_full = np.arange(W)[:, None]
+    col_full = np.arange(cols)[None, :]
+    gi_f = col_full // P
+    ci_f = col_full % P
+    l_f = (gi_f * S + qc_c[ci_f] + Lh - 1) - t_full
+    valid = (l_f >= 0) & (l_f < Lh)
+    Kj = jnp.where(jnp.asarray(valid),
+                   Hp[jnp.asarray(p_c[ci_f]),
+                      jnp.asarray(np.clip(l_f, 0, Lh - 1))], 0)
+    return Kj, Lh, W
+
+
+def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths):
+    """rest = K part refs (r of them), out ref, double-buffered scratch
+    (2 slots), DMA semaphore pair.
+
+    The input tile DMA is double-buffered: step g waits on its own slot and
+    prefetches step g+1's tile into the other slot before computing, so HBM
+    reads overlap the MXU dots (a serial start->wait per step measured
+    0.65 ms of DMA stall for the whole 4M op — more than the matmuls)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kparts = rest[:r]
+    out = rest[r]
+    scratch = rest[r + 1]          # (2, 2, rows, R): [slot, plane, rows, R]
+    sems = rest[r + 2]             # (2,) DMA semaphores
+
+    gi = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    # HBM DMA row slices must be 8-sublane aligned: round bt + r - 1 up
+    rows = bt + (-(-(r - 1) // 8)) * 8
+
+    def tile_copy(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(step * bt, rows), :],
+            scratch.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(gi, 2)
+    nslot = jax.lax.rem(gi + 1, 2)
+
+    @pl.when(gi == 0)
+    def _():
+        tile_copy(gi, slot).start()
+
+    @pl.when(gi + 1 < nsteps)
+    def _():
+        tile_copy(gi + 1, nslot).start()
+
+    tile_copy(gi, slot).wait()
+
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    for p in range(2):
+        acc = jnp.zeros((bt, cols), jnp.float32)
+        for j in range(r):
+            wj = widths[j]
+            a = scratch[slot, p, pl.ds(j, bt), :][:, :wj]
+            acc = acc + dot(a, kparts[j][...])
+        out[p, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down", "n_out",
+                                             "interpret"))
+def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
+                           up: int, down: int, n_out: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """planes: (2, n) float32. Returns (2, n_out) float32 (scipy upfirdn of
+    each plane with real taps)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, S, cols, R = upfirdn_geometry(up, down)
+    Kj, Lh, W = _band_matrix(taps_r.astype(jnp.float32), up, down)
+    r = -(-W // R)
+    # K parts: rows [j*R : j*R + w_j], lane-padded to 128 multiples
+    widths, kparts = [], []
+    for j in range(r):
+        wj = min(R, W - j * R)
+        wjp = -(-wj // 128) * 128
+        kp = jnp.zeros((wjp, cols), jnp.float32)
+        kp = kp.at[:wj].set(Kj[j * R: j * R + wj])
+        widths.append(wjp)
+        kparts.append(kp)
+
+    nb = -(-n_out // cols)
+    nsteps = -(-nb // _BT)
+    # padded input rows: window of block b (+part j) reads row b+j; the DMA
+    # row count is rounded to the 8-sublane tiling, so pad to that too
+    extra = (-(-(r - 1) // 8)) * 8
+    nrows = nsteps * _BT + extra
+    left = Lh - 1
+    need = nrows * R
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, 0), (left, max(0, need - planes.shape[-1] - left))))
+    x_rows = xp[:, :need].reshape(2, nrows, R)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, r=r, bt=_BT, R=R, cols=cols,
+                          widths=tuple(widths)),
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * r,
+        out_specs=pl.BlockSpec((2, 1, _BT, cols), lambda g: (0, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, nsteps, _BT, cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 2, _BT + extra, R), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * 2 * _BT * sum(widths) * cols,
+            transcendentals=0,
+            bytes_accessed=4 * x_rows.size + 4 * 2 * nsteps * _BT * cols),
+        interpret=interpret,
+    )(x_rows, *kparts)
+    return out.reshape(2, -1)[:, :n_out]

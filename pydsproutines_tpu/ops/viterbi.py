@@ -96,10 +96,163 @@ class ViterbiDemodulator:
         return fn(y)
 
 
+# fast-path caps: branch-metric table is (pathlen, codes) with
+# codes = (A+1)^k_syms; the synth tensor adds (pathlen, codes, pulselen)
+_VITERBI_MAX_CODES = 1024
+_VITERBI_MAX_TABLE = 1 << 24
+
+
+def _viterbi_fast_viable(a: int, k_syms: int, pathlen: int,
+                         pulselen: int) -> bool:
+    codes = (a + 1) ** k_syms
+    return (codes <= _VITERBI_MAX_CODES
+            and pathlen * codes * pulselen <= _VITERBI_MAX_TABLE)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("up", "pulselen", "k_syms", "pathlen"))
 def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
                  up, pulselen, k_syms, pathlen):
+    """Dispatcher: table-precompute fast path when the code space is small
+    (the common CPFSK/PSK case), else the general scan implementation."""
+    if _viterbi_fast_viable(int(alphabet.shape[0]), k_syms, pathlen,
+                            pulselen):
+        return _viterbi_run_fast(
+            y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
+            pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
+    return _viterbi_run_scan(
+        y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
+        pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("up", "pulselen", "k_syms", "pathlen"))
+def _viterbi_run_fast(y, alphabet, pretransitions, pulses, omegas,
+                      start_mask, *, up, pulselen, k_syms, pathlen):
+    """Table-driven trellis: identical metrics to _viterbi_run_scan, but the
+    synth/branch work is hoisted OUT of the sequential recursion.
+
+    The branch metric at step n depends only on (n, window code), where the
+    code is the base-(A+1) encoding of the survivor's last k_syms symbols
+    (digit 0 = pre-start silence, digit a+1 = alphabet[a]). All
+    (pathlen, codes) full/short metrics are computed up front as one
+    vectorized pass — per-source pulse synth for every code, per-step source
+    phases e^{-j omega (n*up+t)} applied by broadcasting — so the lax.scan
+    body is a pure add-compare-select on (A,) vectors with backpointer
+    emission, and survivor paths are rebuilt by a trivial backtrack scan.
+    The round-2 implementation ran small convolutions and an (A, pathlen)
+    survivor-path copy inside every step and was latency-bound at ~15 us per
+    symbol step (VERDICT round-3 item #9).
+    """
+    A = alphabet.shape[0]
+    T = pretransitions.shape[1]
+    ylen = y.shape[0]
+    base = A + 1
+    codes = base ** k_syms
+    inf = jnp.float32(jnp.inf)
+
+    ypad = jnp.concatenate([y, jnp.zeros(pulselen + up, dtype=y.dtype)])
+
+    # ---- static code tables (numpy, embedded as constants) -----------------
+    cvec = np.arange(codes)
+    digits = (cvec[:, None] // base ** np.arange(k_syms - 1, -1, -1)[None, :]
+              ) % base                                    # oldest..newest
+    # symbol value per digit: 0 for silence, alphabet[d-1] otherwise
+    # (value table is traced — alphabet is a device array)
+    valtable = jnp.concatenate(
+        [jnp.zeros(1, alphabet.dtype), alphabet])         # (A+1,)
+    win_syms = valtable[jnp.asarray(digits)]              # (codes, k_syms)
+    # code transition: drop oldest digit, append newest symbol p
+    nextcode = ((cvec % base ** (k_syms - 1))[:, None] * base
+                + (np.arange(A) + 1)[None, :])            # (codes, A)
+
+    # ---- synth table: model segment for every code ---------------------------
+    # upsampled windows (codes, k_syms*up); conv each source pulse; take the
+    # same segment synth() takes: offset (k_syms-1)*up, length pulselen
+    upw = jnp.zeros((codes, k_syms * up), dtype=alphabet.dtype)
+    upw = upw.at[:, ::up].set(win_syms)
+
+    def conv_code(w):
+        def one_src(pulse):
+            c = jnp.convolve(w, pulse, mode="full")
+            return jax.lax.dynamic_slice(c, ((k_syms - 1) * up,), (pulselen,))
+        return jax.vmap(one_src)(pulses)                  # (L, pulselen)
+    s0 = jax.vmap(conv_code)(upw)                         # (codes, L, pulselen)
+
+    # per-step per-source phase: e^{-j omega (n*up + t)}
+    n_all = jnp.arange(pathlen, dtype=jnp.float32)
+    t_rel = jnp.arange(pulselen, dtype=jnp.float32)
+    phase = jnp.exp(-1j * omegas[None, :, None]
+                    * (n_all[:, None, None] * up + t_rel[None, None, :]))
+    # S[n, c, t] = sum_i s0[c, i, t] * phase[n, i, t]
+    S = jnp.einsum("cit,nit->nct", s0.astype(jnp.complex64),
+                   phase.astype(jnp.complex64))           # (pathlen, codes, P)
+
+    # observation windows + validity
+    ywin = ypad[(jnp.arange(pathlen)[:, None] * up
+                 + jnp.arange(pulselen)[None, :])]        # (pathlen, P)
+    valid = (jnp.arange(pathlen)[:, None] * up
+             + jnp.arange(pulselen)[None, :]) < ylen
+
+    d = jnp.where(valid[:, None, :], ywin[:, None, :] - S, 0.0)
+    dsq = d.real * d.real + d.imag * d.imag
+    bm_full = jnp.sum(dsq, axis=-1)                       # (pathlen, codes)
+    bm_short = jnp.sum(dsq[..., :up], axis=-1)
+
+    # ---- init (n = 0): window = silence + first symbol => code = p + 1 ------
+    init_codes = jnp.arange(1, A + 1, dtype=jnp.int32)
+    metrics0 = jnp.where(start_mask, bm_short[0, init_codes], inf)
+
+    # ---- ACS recursion with backpointers -------------------------------------
+    nextcode_j = jnp.asarray(nextcode, dtype=jnp.int32)
+    pret = pretransitions
+
+    def step(carry, n):
+        metrics, code = carry
+        bmf = bm_full[n]
+        bms = bm_short[n]
+        # candidate codes per (p, t): survivor window of predecessor + p
+        nc = nextcode_j[code[pret], jnp.arange(A, dtype=jnp.int32)[:, None]]
+        full = bmf[nc]                                    # (A, T)
+        short = bms[nc]
+        pre_inf = jnp.isinf(metrics)[pret]
+        full = jnp.where(pre_inf, inf, full)
+        short = jnp.where(pre_inf, inf, short)
+        best_t = jnp.argmin(full, axis=1)
+        best_q = jnp.take_along_axis(pret, best_t[:, None], axis=1)[:, 0]
+        all_inf = jnp.all(jnp.isinf(full), axis=1)
+        new_metrics = jnp.where(
+            all_inf, inf,
+            metrics[best_q] + jnp.take_along_axis(
+                short, best_t[:, None], axis=1)[:, 0])
+        new_code = jnp.take_along_axis(nc, best_t[:, None], axis=1)[:, 0]
+        return (new_metrics, new_code), best_q
+
+    (metrics, _), backptr = jax.lax.scan(
+        step, (metrics0, init_codes), jnp.arange(1, pathlen, dtype=jnp.int32),
+        unroll=4)                                         # (pathlen-1, A)
+
+    # ---- backtrack every final state's survivor path -------------------------
+    def trace(carry, bp):
+        s = carry
+        prev = bp[s]
+        return prev, s
+
+    ends = jnp.arange(A, dtype=jnp.int32)
+
+    def trace_one(end):
+        first, rest = jax.lax.scan(trace, end, backptr, reverse=True,
+                                   unroll=4)
+        return jnp.concatenate([first[None], rest])
+
+    paths = jax.vmap(trace_one)(ends)                     # (A, pathlen)
+    return paths, metrics
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("up", "pulselen", "k_syms", "pathlen"))
+def _viterbi_run_scan(y, alphabet, pretransitions, pulses, omegas,
+                      start_mask, *, up, pulselen, k_syms, pathlen):
     A = alphabet.shape[0]
     T = pretransitions.shape[1]
     L = pulses.shape[0]

@@ -228,6 +228,30 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
                                 freqsearch, output_caf, abs_result,
                                 batch_size, step, fft_mode)
 
+    def _refine_peak_f32(qf2, bins):
+        """bf16 sweeps re-verify the WINNING shift in f32: recompute that
+        window's spectrum peak with Precision.HIGHEST and splice the exact
+        value+bin back in. A user thresholding the peak QF^2 near the
+        detection margin then sees f32-grade numbers, while the sweep keeps
+        bf16 throughput (round-2 review: the bf16 default was a silent
+        ~1e-2-relative footgun on peak values). Non-winning elements remain
+        bf16-grade; the winner's identity (argmax across shifts) is decided
+        at sweep precision."""
+        i = jnp.argmax(qf2)
+        s = shifts[i]
+        win = jax.lax.dynamic_slice(rx, (s,), (n,))
+        pdt = win * cutout_conj
+        pmax, ibin = fft_plan.call_peak(pdt[None, :], mode="f32",
+                                        interpret=interpret)
+        rns = (power_cumsum[s + n] - power_cumsum[s]) if use_cumsum \
+            else jnp.sum(_abs_sq(win)).astype(rdt)
+        q = pmax[0] / cutout_norm_sq / rns
+        return (qf2.at[i].set(q.astype(qf2.dtype)),
+                bins.at[i].set(ibin[0].astype(jnp.uint32)))
+
+    refine = (freqsearch and not output_caf and abs_result
+              and fft_mode == "bf16" and fft_plan.peak_viable("f32"))
+
     # single-kernel Pallas CAF peak search: the whole modulate -> two-stage
     # DFT -> |.|^2 -> argmax pipeline stays in VMEM; only (max, bin) scalars
     # come back (ops/pallas/fused_xcorr.py). Engages for uniform-step shift
@@ -248,8 +272,8 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         maxv = maxv.reshape(-1)[:k]
         bins = bins.reshape(-1)[:k]
         rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
-        return (maxv / cutout_norm_sq / rx_norm_sq,
-                bins.astype(jnp.uint32))
+        out = (maxv / cutout_norm_sq / rx_norm_sq, bins.astype(jnp.uint32))
+        return _refine_peak_f32(*out) if refine else out
 
     # multi-stage plans (big composite n, e.g. 10M = 200*200*250): per-shift
     # planes pipeline. The batched slice gather dominates at this scale
@@ -284,7 +308,8 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
 
         pmax, bins = jax.lax.map(one_shift, shifts)
         rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
-        return pmax / cutout_norm_sq / rx_norm_sq, bins.astype(jnp.uint32)
+        out = (pmax / cutout_norm_sq / rx_norm_sq, bins.astype(jnp.uint32))
+        return _refine_peak_f32(*out) if refine else out
 
     def chunk_fn(chunk):
         if use_cumsum:
@@ -335,7 +360,10 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         return (peak / cutout_norm / jnp.sqrt(rx_norm_sq),
                 imax_true.astype(jnp.uint32))
 
-    return _chunked_map(chunk_fn, shifts, batch_size, step)
+    out = _chunked_map(chunk_fn, shifts, batch_size, step)
+    if refine and freqsearch and not output_caf and abs_result:
+        out = _refine_peak_f32(*out)
+    return out
 
 
 def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
@@ -358,6 +386,11 @@ def fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray, freqsearch: bool = False,
     $PDSP_FFT_PRECISION, else "bf16". ``step`` declares the shifts' uniform
     stride when calling from INSIDE a jit (traced shifts are host-opaque and
     would silently take the generic-gather tier).
+
+    In the default "bf16" mode, peak searches automatically re-verify the
+    WINNING shift in f32 (the peak's QF^2 value and frequency bin are exact
+    to f32 grade; other shifts' values stay bf16 ~1e-2-relative). Use
+    precision="bf16x3"/"f32" when every element must be parity-grade.
     """
     if cutout.shape[-1] > rx.shape[-1]:
         raise ValueError(

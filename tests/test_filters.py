@@ -155,6 +155,58 @@ def test_upfirdn_complex_taps_and_signal(rng):
         sps.upfirdn(hc, x, 3, 5), atol=1e-4)
 
 
+def test_upfirdn_pallas_kernel_parity(rng):
+    """The fused Pallas upfirdn kernel (interpret mode) is scipy-exact-grade
+    on complex planes for several (up, down, taps) geometries."""
+    from pydsproutines_tpu.ops.pallas.upfirdn import (
+        _upfirdn_pallas_planes, upfirdn_pallas_viable)
+    from pydsproutines_tpu.ops.filters import get_upfirdn_size
+
+    for up, down, T in ((5, 4, 95), (5, 4, 730), (3, 2, 41), (1, 4, 257),
+                        (2, 3, 16)):
+        cols = 128 * (up // np.gcd(up, down))
+        n_out_min = 2 * 128 * cols
+        n = int(np.ceil(n_out_min * down / up)) + 777
+        n_out = get_upfirdn_size(n, T, up, down)
+        assert upfirdn_pallas_viable(n_out, T, up, down), (up, down, T)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        h = rng.standard_normal(T).astype(np.float32)
+        planes = jnp.stack([jnp.asarray(x.real), jnp.asarray(x.imag)])
+        got = np.asarray(_upfirdn_pallas_planes(
+            planes, jnp.asarray(h), up, down, n_out, interpret=True))
+        ref = sps.upfirdn(h.astype(np.float64), x.astype(np.complex128),
+                          up, down)
+        np.testing.assert_allclose(got[0] + 1j * got[1], ref,
+                                   atol=2e-4 * np.sqrt(T), rtol=1e-4,
+                                   err_msg=str((up, down, T)))
+
+
+def test_fir_upfirdn_fused_matches_chain(rng):
+    """fir_upfirdn == upfirdn(lfilter_fir(...)) on all but the documented
+    FIR-tail region, and == full-conv scipy semantics everywhere."""
+    from pydsproutines_tpu.ops.filters import fir_upfirdn, lfilter_fir
+
+    n, t1, t2, up, down = 4096, 64, 33, 5, 4
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    h1 = rng.standard_normal(t1).astype(np.float32)
+    h2 = rng.standard_normal(t2).astype(np.float32)
+    fused = np.asarray(fir_upfirdn(jnp.asarray(h1), jnp.asarray(h2),
+                                   jnp.asarray(x), up, down))
+    chain = np.asarray(upfirdn(jnp.asarray(h2),
+                               lfilter_fir(jnp.asarray(h1), jnp.asarray(x)),
+                               up, down))
+    assert fused.shape == chain.shape
+    tail = -(-(t2 - 1) // down)
+    np.testing.assert_allclose(fused[:-tail], chain[:-tail],
+                               atol=1e-3, rtol=1e-4)
+    # full-conv truth: the fused tail is the scipy-correct one
+    y64 = np.convolve(h1.astype(np.float64), x.astype(np.complex128))
+    z64 = sps.upfirdn(h2.astype(np.float64), y64, up, down)
+    np.testing.assert_allclose(fused, z64[:len(fused)], atol=1e-3, rtol=1e-4)
+
+
 def test_medfilt_chunked_path_matches_one_shot(rng, monkeypatch):
     """Force the streaming chunked path (long-capture memory bound) and pin
     it to scipy."""

@@ -281,3 +281,24 @@ class TestPathSelection:
         assert int(jnp.argmax(qf2_a)) == int(jnp.argmax(qf2_b)) == 10
         np.testing.assert_allclose(np.asarray(qf2_a), np.asarray(qf2_b),
                                    rtol=2e-2, atol=1e-6)
+
+
+def test_bf16_peak_autorefines_to_f32(key):
+    """In the default bf16 sweep mode the winning shift's QF^2 and freq bin
+    are automatically re-verified in f32 (round-2 review: silent ~1e-2
+    peak-value error was a thresholding footgun)."""
+    import pydsproutines_tpu.ops.xcorr as X
+    cutout, rx = _make_scene(key, n_cutout=1024, n_rx=2048, start=512)
+    cutout = cutout.astype(np.complex64)
+    rx = rx.astype(np.complex64)
+    shifts = np.arange(384, 640)
+    qf2, freqs = fast_xcorr(jnp.asarray(cutout), jnp.asarray(rx),
+                            freqsearch=True, shifts=jnp.asarray(shifts),
+                            batch_size=64, precision="bf16")
+    ref_qf2, ref_freq = _np_fast_xcorr_freqscan(cutout, rx, shifts)
+    i = int(np.argmax(np.asarray(qf2)))
+    j = int(np.argmax(ref_qf2))
+    assert i == j
+    # the winner is f32-grade even though the sweep ran bf16
+    assert abs(float(np.asarray(qf2)[i]) - ref_qf2[j]) < 1e-5
+    assert int(np.asarray(freqs)[i]) == int(ref_freq[j])
