@@ -108,8 +108,9 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths):
             x_hbm.at[:, pl.ds(step * bt, rows), :],
             scratch.at[slot], sems.at[slot])
 
-    slot = jax.lax.rem(gi, 2)
-    nslot = jax.lax.rem(gi + 1, 2)
+    two = jnp.asarray(2, gi.dtype)
+    slot = jax.lax.rem(gi, two)
+    nslot = jax.lax.rem(gi + 1, two)
 
     @pl.when(gi == 0)
     def _():
