@@ -153,7 +153,7 @@ def bench_fft_xcorr(n, nshifts, batch, r_hi=R_HI):
 def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
     import jax
     import jax.numpy as jnp
-    from pydsproutines_tpu.ops.filters import lfilter_fir, upfirdn
+    from pydsproutines_tpu.ops.filters import fir_upfirdn
 
     rng = np.random.default_rng(1)
     x_ri = rng.standard_normal((2, n), dtype=np.float32)
@@ -166,8 +166,11 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
         for i in range(n_reps):
             x = jax.lax.complex(
                 xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
-            y = lfilter_fir(jnp.asarray(h_fir), x)
-            z = upfirdn(jnp.asarray(h_rs), y, up, down)
+            # the shipped fused chain op (combined-taps single memory pass;
+            # accuracy-equivalent to lfilter_fir + upfirdn — see
+            # benchmarks/exp_fir_breakdown.py)
+            z = fir_upfirdn(jnp.asarray(h_fir), jnp.asarray(h_rs), x,
+                            up, down)
             outs.append(jnp.sum(jnp.abs(z)))
         return jnp.stack(outs)
 

@@ -58,15 +58,23 @@ def _bf16_split_np(a64: np.ndarray):
 
 
 def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
-                w1i_lo, w2r, w2i, w2r_lo, w2i_lo, out_max, out_idx, *,
-                n1: int, n2: int, k1t: int, step: int, mode: str):
+                w1i_lo, w2r, w2i, w2r_lo, w2i_lo, w1s, w2s, out_max, out_idx,
+                *, n1: int, n2: int, k1t: int, step: int, mode: str):
     """One shift: full modulate -> two-stage DFT -> |.|^2 -> argmax.
 
     z_*: (1, n1, n2 + (B-1)*step) shared window planes for this chunk.
     cc_*: (n1, n2) conjugated template planes. tw_*: (n1, n2) twiddle planes.
     w1*: (n1, n1) stage-1 DFT planes; w2*: (n2, n2) TRANSPOSED stage-2 DFT
     planes (contraction-ready); *_lo: bf16 low parts (bf16x3) or (1, 1)
+    dummies. w1s/w2s: Karatsuba sum planes bf16(Re+Im) (bf16 mode) or
     dummies. out_*: (chunks, B) SMEM scalars per shift.
+
+    bf16 mode runs each complex matmul as THREE real MXU passes (Karatsuba:
+    t1 = Wr@xr, t2 = Wi@xi, t3 = (Wr+Wi)@(xr+xi); Re = t1-t2, Im =
+    t3-t1-t2) instead of four — the constant-side sums are precomputed on
+    host, the data-side sum is one VPU add. 25% less MXU work on a
+    matmul-bound kernel; error growth ~2x at bf16 peak-search grade (the
+    winning shift is re-verified exactly by the caller's tone-dot refine).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -99,6 +107,7 @@ def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
     elif mode == "bf16":
         prb = pr.astype(jnp.bfloat16)
         pib = pi.astype(jnp.bfloat16)
+        psb = (pr + pi).astype(jnp.bfloat16)
 
     best_m = jnp.full((), -1.0, jnp.float32)
     best_i = jnp.full((), _INT_MAX, jnp.int32)
@@ -117,8 +126,11 @@ def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
             f1i = mm1(w1r, w1r_lo, pi_hi, pi_lo) + mm1(w1i, w1i_lo, pr_hi,
                                                        pr_lo)
         else:
-            f1r = dot(w1r[rows, :], prb) - dot(w1i[rows, :], pib)
-            f1i = dot(w1r[rows, :], pib) + dot(w1i[rows, :], prb)
+            t1 = dot(w1r[rows, :], prb)
+            t2 = dot(w1i[rows, :], pib)
+            t3 = dot(w1s[rows, :], psb)
+            f1r = t1 - t2
+            f1i = t3 - t1 - t2
 
         gr = f1r * tw_re[rows, :] - f1i * tw_im[rows, :]
         gi = f1r * tw_im[rows, :] + f1i * tw_re[rows, :]
@@ -140,10 +152,11 @@ def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
             ri = mm2(gr_hi, gr_lo, w2i, w2i_lo) + mm2(gi_hi, gi_lo, w2r,
                                                       w2r_lo)
         else:
-            rr = dot(gr.astype(jnp.bfloat16), w2r[:, :]) \
-                - dot(gi.astype(jnp.bfloat16), w2i[:, :])
-            ri = dot(gr.astype(jnp.bfloat16), w2i[:, :]) \
-                + dot(gi.astype(jnp.bfloat16), w2r[:, :])
+            s1 = dot(gr.astype(jnp.bfloat16), w2r[:, :])
+            s2 = dot(gi.astype(jnp.bfloat16), w2i[:, :])
+            s3 = dot((gr + gi).astype(jnp.bfloat16), w2s[:, :])
+            rr = s1 - s2
+            ri = s3 - s1 - s2
 
         mag = rr * rr + ri * ri                       # (k1t, n2)
         tmax = jnp.max(mag)
@@ -162,15 +175,16 @@ def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
 def _vmem_estimate(n1: int, n2: int, k1t: int, halo: int, mode: str) -> int:
     f32 = 4
     wb = 4 if mode == "f32" else 2
-    nw = 4 if mode == "bf16x3" else 2
+    nw = 4 if mode == "bf16x3" else (3 if mode == "bf16" else 2)
     wcols = -(-(n2 + halo) // 128) * 128
     z = 2 * n1 * wcols * f32 * 2                # double-buffered chunk tiles
     cc = 2 * n1 * n2 * f32
     tw = 2 * n1 * n2 * f32
-    w1 = nw * n1 * n1 * wb
+    w1 = nw * n1 * n1 * wb                      # bf16: +Karatsuba sum plane
     w2 = nw * n2 * n2 * wb
     pdt = 2 * n1 * n2 * (f32 + (0 if mode == "f32" else
-                                2 * (2 if mode == "bf16x3" else 1)))
+                                2 * (2 if mode == "bf16x3" else 1))) \
+        + (n1 * n2 * 2 if mode == "bf16" else 0)    # psum plane
     tile = 2 * k1t * n2 * f32 * 3               # f1, g, r2/mag liveness
     return z + cc + tw + w1 + w2 + pdt + tile
 
@@ -216,6 +230,7 @@ class FusedXcorrPlan:
         import ml_dtypes
         bf16 = np.dtype(ml_dtypes.bfloat16)
         dummy = np.zeros((1, 1), bf16)
+        self.w1s = self.w2s = dummy
         if mode == "f32":
             self.w1r = w1_64.real.astype(np.float32)
             self.w1i = w1_64.imag.astype(np.float32)
@@ -231,13 +246,17 @@ class FusedXcorrPlan:
             if mode != "bf16x3":
                 self.w1r_lo = self.w1i_lo = dummy
                 self.w2r_lo = self.w2i_lo = dummy
+            if mode == "bf16":
+                # Karatsuba sum planes, rounded from the f64 sum
+                self.w1s = (w1_64.real + w1_64.imag).astype(bf16)
+                self.w2s = (w2t_64.real + w2t_64.imag).astype(bf16)
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "k1t", "step",
                                              "batch", "mode", "interpret"))
 def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
-                     w1r_lo, w1i_lo, w2r, w2i, w2r_lo, w2i_lo, *, n1, n2,
-                     k1t, step, batch, mode, interpret=False):
+                     w1r_lo, w1i_lo, w2r, w2i, w2r_lo, w2i_lo, w1s, w2s, *,
+                     n1, n2, k1t, step, batch, mode, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -245,13 +264,13 @@ def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
     const = pl.BlockSpec(memory_space=pltpu.VMEM)   # whole array, resident
     z_spec = pl.BlockSpec((1, n1, wcols), lambda ci, b: (ci, 0, 0),
                           memory_space=pltpu.VMEM)
-    flops = 8 * nchunks * batch * (n1 * n1 * n2 + n1 * n2 * n2) \
-        * (3 if mode == "bf16x3" else 1)
+    passes = {"bf16": 6, "bf16x3": 24, "f32": 8}[mode]
+    flops = passes * nchunks * batch * (n1 * n1 * n2 + n1 * n2 * n2)
     return pl.pallas_call(
         functools.partial(_caf_kernel, n1=n1, n2=n2, k1t=k1t, step=step,
                           mode=mode),
         grid=(nchunks, batch),
-        in_specs=[z_spec, z_spec] + [const] * 12,
+        in_specs=[z_spec, z_spec] + [const] * 14,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((nchunks, batch), jnp.float32),
@@ -264,7 +283,7 @@ def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
             transcendentals=0),
         interpret=interpret,
     )(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo, w1i_lo,
-      w2r, w2i, w2r_lo, w2i_lo)
+      w2r, w2i, w2r_lo, w2i_lo, w1s, w2s)
 
 
 _PLAN_CACHE: dict = {}
@@ -328,6 +347,7 @@ def fused_freq_scan_peak(cutout_conj, rx_padded, start0, nchunks: int,
         jnp.asarray(plan.w1r_lo), jnp.asarray(plan.w1i_lo),
         jnp.asarray(plan.w2r), jnp.asarray(plan.w2i),
         jnp.asarray(plan.w2r_lo), jnp.asarray(plan.w2i_lo),
+        jnp.asarray(plan.w1s), jnp.asarray(plan.w2s),
         n1=n1, n2=n2, k1t=plan.k1t, step=step, batch=batch, mode=plan.mode,
         interpret=interpret)
     # permuted position (k1-major) -> true bin k1 + n1*k2

@@ -56,6 +56,15 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
 
     nprime_pts = x.shape[-1] // dec
 
+    if n == dec and not jnp.issubdtype(jnp.asarray(f_tap).dtype,
+                                       jnp.complexfloating):
+        from pydsproutines_tpu.ops.pallas.wola_fused import (
+            wola_fused, wola_fused_viable)
+        if (jax.devices()[0].platform == "tpu"
+                and wola_fused_viable(n, dec, L, nprime_pts, x.dtype)):
+            # single-kernel fold+IDFT: one HBM read + one HBM write
+            return wola_fused(f_tap, x, dec, n)
+
     if n == dec:
         # Polyphase fast path: dft_in[r, a] = sum_b x[r*N - b*N - a] * h[b*N+a]
         # computed directly on the natural xq = x.reshape(rows, N) layout:

@@ -229,28 +229,59 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
                                 batch_size, step, fft_mode)
 
     def _refine_peak_f32(qf2, bins):
-        """bf16 sweeps re-verify the WINNING shift in f32: recompute that
-        window's spectrum peak with Precision.HIGHEST and splice the exact
-        value+bin back in. A user thresholding the peak QF^2 near the
-        detection margin then sees f32-grade numbers, while the sweep keeps
-        bf16 throughput (round-2 review: the bf16 default was a silent
-        ~1e-2-relative footgun on peak values). Non-winning elements remain
-        bf16-grade; the winner's identity (argmax across shifts) is decided
-        at sweep precision."""
+        """bf16 sweeps re-verify the WINNING shift at full precision: the
+        spectrum is evaluated EXACTLY at the chosen bin and its +-2
+        neighbours by direct tone dots (sum pdt[t] * e^{-2pi i k t / n}),
+        and the best value+bin spliced back in. A user thresholding the peak
+        QF^2 near the detection margin then sees f32-grade numbers, while
+        the sweep keeps bf16 throughput (round-2 review: the bf16 default
+        was a silent ~1e-2-relative footgun on peak values). Cost is one
+        pass over the winning window (~25 us at n=1M) vs ~0.5 ms for a full
+        f32 spectrum-peak recompute. Non-winning elements remain bf16-grade.
+
+        The phase integer (k*t) mod n is built overflow-free in int32 by
+        splitting t = t1*S + t2 and k = k1 + (n/S)*k2 with S | n, S ~
+        sqrt(n):  k*t mod n = [S*((k*t1) mod (n/S)) + k1*t2
+        + (n/S)*((k2*t2) mod S)] mod n — every product < max(S, n/S)^2.
+        """
         i = jnp.argmax(qf2)
         s = shifts[i]
         win = jax.lax.dynamic_slice(rx, (s,), (n,))
         pdt = win * cutout_conj
-        pmax, ibin = fft_plan.call_peak(pdt[None, :], mode="f32",
-                                        interpret=interpret)
+        # S: divisor of n nearest sqrt(n) (host-side; n is static)
+        divs = [d for d in range(1, int(np.sqrt(n)) + 1) if n % d == 0]
+        S = max(n // divs[-1], divs[-1])
+        M = n // S                                   # both S, M <= ~46341
+        k0 = bins[i].astype(jnp.int32)
+        nb = 5                                       # bins k0-2 .. k0+2
+        ks = (k0 + jnp.arange(-(nb // 2), nb // 2 + 1)) % n   # (nb,)
+        t = jnp.arange(n, dtype=jnp.int32)
+        t1 = t // S
+        t2 = t % S
+        kmodM = ks % M                               # (nb,)
+        k1 = ks % M
+        k2 = ks // M
+        term1 = S * ((kmodM[:, None] * t1[None, :]) % M)
+        term2 = k1[:, None] * t2[None, :]
+        term3 = M * ((k2[:, None] * t2[None, :]) % S)
+        ph = (term1 + term2 + term3) % n             # (nb, n) int32, exact
+        ang = (-2.0 * np.pi / n) * ph.astype(rdt)
+        er = jnp.cos(ang)
+        ei = jnp.sin(ang)
+        prr = jnp.real(pdt).astype(rdt)
+        pii = jnp.imag(pdt).astype(rdt)
+        vr = er @ prr - ei @ pii                     # (nb,)
+        vi = er @ pii + ei @ prr
+        mag = vr * vr + vi * vi
+        j = jnp.argmax(mag)
         rns = (power_cumsum[s + n] - power_cumsum[s]) if use_cumsum \
             else jnp.sum(_abs_sq(win)).astype(rdt)
-        q = pmax[0] / cutout_norm_sq / rns
+        q = mag[j] / cutout_norm_sq / rns
         return (qf2.at[i].set(q.astype(qf2.dtype)),
-                bins.at[i].set(ibin[0].astype(jnp.uint32)))
+                bins.at[i].set(ks[j].astype(jnp.uint32)))
 
     refine = (freqsearch and not output_caf and abs_result
-              and fft_mode == "bf16" and fft_plan.peak_viable("f32"))
+              and fft_mode == "bf16" and n < 2**31)
 
     # single-kernel Pallas CAF peak search: the whole modulate -> two-stage
     # DFT -> |.|^2 -> argmax pipeline stays in VMEM; only (max, bin) scalars

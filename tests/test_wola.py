@@ -85,3 +85,34 @@ def test_channeliser_freqs():
     assert f[0] == 0
     assert f.min() < 0  # wrapped axis
     assert c.channel_fs(8000.0) == 1000.0
+
+
+def test_wola_fused_kernel_parity(rng):
+    """Fused fold+IDFT Pallas kernel (interpret mode) matches wola() across
+    tail shapes, including the single-grid-step edge (nsteps == 1)."""
+    from pydsproutines_tpu.ops.pallas.wola_fused import (wola_fused,
+                                                         wola_fused_viable)
+
+    nch = 64
+    h = rng.standard_normal(2048).astype(np.float32)
+    for rows in (600, 2048, 4099):
+        n = nch * rows
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        ref = np.asarray(wola(jnp.asarray(h), jnp.asarray(x), nch, nch))
+        got = np.asarray(wola_fused(jnp.asarray(h), jnp.asarray(x), nch, nch,
+                                    interpret=True))
+        err = np.max(np.abs(ref - got)) / np.max(np.abs(ref))
+        assert got.shape == ref.shape
+        assert err < 1e-5, (rows, err)
+
+
+def test_wola_fused_viability_gate():
+    from pydsproutines_tpu.ops.pallas.wola_fused import wola_fused_viable
+
+    assert wola_fused_viable(64, 64, 2048, 131072, np.complex64)
+    assert not wola_fused_viable(64, 32, 2048, 131072, np.complex64)  # 2*dec
+    assert not wola_fused_viable(48, 48, 1536, 131072, np.complex64)  # lanes
+    assert not wola_fused_viable(64, 64, 2048, 131072, np.complex128)
+    assert not wola_fused_viable(64, 64, 64 * 4, 131072, np.complex64)  # B%8
+    assert not wola_fused_viable(64, 64, 2048, 100, np.complex64)  # tiny
