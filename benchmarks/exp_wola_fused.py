@@ -86,6 +86,10 @@ def measure(name, body):
     return dt
 
 
-measure("wola FUSED pallas", lambda x: wola_fused(d_h, x, DEC, NCH))
-measure("wola XLA banded-matmul", lambda x: wola_xla(d_h, x, DEC, NCH))
-measure("wola public (dispatches fused)", lambda x: wola(d_h, x, DEC, NCH))
+sel = sys.argv[1:] or ["fused", "public"]
+if "fused" in sel:
+    measure("wola FUSED pallas", lambda x: wola_fused(d_h, x, DEC, NCH))
+if "xla" in sel:
+    measure("wola XLA banded-matmul", lambda x: wola_xla(d_h, x, DEC, NCH))
+if "public" in sel:
+    measure("wola public (dispatches fused)", lambda x: wola(d_h, x, DEC, NCH))

@@ -128,8 +128,8 @@ _log = logging.getLogger("pydsproutines_tpu.xcorr")
 
 def select_xcorr_path(n: int, rx_len: int, dtype, freqsearch: bool,
                       output_caf: bool, abs_result: bool, batch_size: int,
-                      step: int | None, fft_mode: str = _DEFAULT_FFT_MODE
-                      ) -> tuple[str, str]:
+                      step: int | None, fft_mode: str = _DEFAULT_FFT_MODE,
+                      platform: str = "tpu") -> tuple[str, str]:
     """The compile-time routing decision of fast_xcorr, exposed for
     observability (VERDICT: silent fused-path fallbacks). Returns
     (path, reason), where path is one of:
@@ -153,6 +153,17 @@ def select_xcorr_path(n: int, rx_len: int, dtype, freqsearch: bool,
         return "dot", "freqsearch=False"
     if output_caf:
         return "caf", "full CAF output requested (no peak fusion possible)"
+    if platform != "tpu":
+        # Pallas tiers are Mosaic-only: on CPU/GPU backends (e.g. the gloo
+        # multi-process cluster) route to the pure-XLA formulations. The
+        # default platform="tpu" keeps this function's observability
+        # contract (what WOULD run on the target hardware); the jitted impl
+        # passes its actual backend.
+        from pydsproutines_tpu.ops.fft import get_fft_plan as _gp
+        plan = _gp(n, str(np.dtype(dtype)))
+        reason = f"platform {platform} != tpu: Pallas tiers disabled " \
+                 "(pass interpret=True to emulate)"
+        return ("permuted" if plan.viable else "naive"), reason
     if not abs_result:
         reason = "abs_result=False keeps complex peaks (no |.|^2 fusion)"
     elif np.dtype(dtype) != np.dtype(np.complex64):
@@ -224,9 +235,11 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
 
     # routing decision shared with select_xcorr_path (the observability
     # surface): every condition below is compile-time static
+    exec_platform = "tpu" if interpret else jax.devices()[0].platform
     path, _ = select_xcorr_path(n, int(rx.shape[-1]), cutout.dtype,
                                 freqsearch, output_caf, abs_result,
-                                batch_size, step, fft_mode)
+                                batch_size, step, fft_mode,
+                                platform=exec_platform)
 
     def _refine_peak_f32(qf2, bins):
         """bf16 sweeps re-verify the WINNING shift at full precision: the
@@ -362,9 +375,7 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
             if abs_result:
                 return mag_sq / cutout_norm_sq / rx_norm_sq[:, None]
             return pdtfft / cutout_norm / jnp.sqrt(rx_norm_sq)[:, None]
-        if (abs_result and fft_plan.viable
-                and cutout.dtype == jnp.complex64
-                and fft_plan.peak_viable(fft_mode)):
+        if path == "peak-kernel":
             # fused Pallas path: twiddle+stage2+|.|^2+argmax in one kernel;
             # the (batch, n) spectrum never round-trips HBM
             pmax, ibin = fft_plan.call_peak(pdt, mode=fft_mode,
