@@ -5,9 +5,16 @@ BASELINE.md's north star asks for "samples/s scaling efficiency measured at
 1 chip, 1 host, and N>=2 hosts". Real pod hardware is unavailable in this
 environment (one v5e chip behind a tunnel), so this harness establishes the
 *methodology* on the same code paths the pod would run: gloo collectives
-across real OS processes, each process holding 2 virtual CPU devices, the
+across real OS processes, each process holding ONE virtual CPU device, the
 identical shard_map programs (`sharded_wola` halo exchange + `sharded_caf_peak`
 shift sharding) that the driver's dryrun compiles for the TPU mesh.
+
+(One device per process, not two: with multiple virtual devices the
+single-process baseline executes them through one intra-op thread pool and
+reads ~2x slower than the same work split across processes — a CPU-backend
+scheduling artifact that made "efficiency" super-linear. Real TPU chips are
+independent accelerators, so the 1-device-per-process layout is the faithful
+analogue.)
 
 Weak scaling: per-process work is FIXED (each process owns the same number of
 capture samples and the same number of CAF shifts); the global problem grows
@@ -41,7 +48,7 @@ WORKER = r"""
 import json, os, sys, time
 cfg = json.loads(sys.argv[1])
 proc, nproc = cfg["proc"], cfg["nproc"]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 os.environ.pop("JAX_PLATFORMS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -182,9 +189,9 @@ def main(argv=None):
 
     base = times[args.nprocs[0]]
     report = {
-        "harness": "weak-scaling on a gloo CPU cluster (2 virtual devices "
-                   "per process); per-process work fixed; efficiency = "
-                   "t(1 proc)/t(N proc), ideal 1.0",
+        "harness": "weak-scaling on a gloo CPU cluster (1 virtual device "
+                   "per process, 1 pinned core each); per-process work "
+                   "fixed; efficiency = t(1 proc)/t(N proc), ideal 1.0",
         "config": dict(cfg_base, cores_per_proc=cores_per_proc),
         "wall_seconds": round(time.time() - t0, 1),
         "workloads": {},

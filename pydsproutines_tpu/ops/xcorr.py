@@ -100,11 +100,19 @@ def _chunked_map(fn, shifts: jnp.ndarray, batch_size: int,
 
 
 def _uniform_step(shifts) -> int | None:
-    """Detect a static arithmetic progression in a host-side shifts array."""
+    """Detect a static arithmetic progression in a host-side shifts array.
+
+    Multi-process global arrays cannot be np.asarray'd (only local shards
+    are addressable); the LOCAL shard suffices — shard_map hands each device
+    a contiguous block, so a uniform global progression is uniform per
+    block, which is all the gather tiers need."""
     try:
         s = np.asarray(shifts)
     except Exception:
-        return None
+        try:
+            s = np.asarray(shifts.addressable_shards[0].data)
+        except Exception:
+            return None
     if s.ndim != 1 or s.size < 2 or not np.issubdtype(s.dtype, np.integer):
         return None if s.size > 1 else 1
     d = np.diff(s)

@@ -12,10 +12,24 @@ peak triple with only scalars on the ICI)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
+
+
+@functools.lru_cache(maxsize=64)
+def _shard_shifts_fn(plan, mesh, axis, bs, step):
+    # cached per (plan, mesh, geometry) — a fresh closure per call would
+    # recompile the shard_map program every invocation
+    def local(r, s):
+        out = plan.xcorr(r, s, batch_size=bs, step=step)
+        return out[0] if isinstance(out, tuple) else out
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                                 out_specs=P(axis), check_vma=False))
 
 
 def _shard_shifts_call(plan, rx, shifts, mesh, axis, batch_size):
@@ -31,14 +45,7 @@ def _shard_shifts_call(plan, rx, shifts, mesh, axis, batch_size):
     if nper * ndev != shifts.shape[0]:
         raise ValueError("len(shifts) must divide evenly over the mesh axis")
     bs = int(min(batch_size, nper))
-
-    def local(r, s):
-        out = plan.xcorr(r, s, batch_size=bs, step=step)
-        return out[0] if isinstance(out, tuple) else out
-
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
-                               out_specs=P(axis), check_vma=False))
-    return fn(rx, shifts)
+    return _shard_shifts_fn(plan, mesh, axis, bs, step)(rx, shifts)
 
 
 def sharded_group_xcorr_czt(plan, rx: jnp.ndarray, shifts,
@@ -59,6 +66,24 @@ def sharded_group_xcorr_fft(plan, rx: jnp.ndarray, shifts,
     return _shard_shifts_call(plan, rx, shifts, mesh, axis, batch_size)
 
 
+@functools.lru_cache(maxsize=64)
+def _group_peak_fn(plan, mesh, axis, bs, step):
+    def local(r, s):
+        out = plan.xcorr(r, s, batch_size=bs, step=step)
+        caf = out[0] if isinstance(out, tuple) else out
+        flat = caf.reshape(-1)
+        i = jnp.argmax(flat)
+        si, fi = i // caf.shape[-1], i % caf.shape[-1]
+        peaks = jax.lax.all_gather(flat[i], axis)
+        sbest = jax.lax.all_gather(s[si], axis)
+        fbest = jax.lax.all_gather(fi.astype(jnp.int32), axis)
+        j = jnp.argmax(peaks)
+        return peaks[j], sbest[j], fbest[j]
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                                 out_specs=(P(), P(), P()), check_vma=False))
+
+
 def sharded_group_xcorr_peak(plan, rx: jnp.ndarray, shifts,
                              mesh: jax.sharding.Mesh, axis: str = "dsp",
                              batch_size: int = 32):
@@ -73,19 +98,4 @@ def sharded_group_xcorr_peak(plan, rx: jnp.ndarray, shifts,
     bs = int(min(batch_size, nper))
     from pydsproutines_tpu.ops.xcorr import _uniform_step
     step = _uniform_step(shifts)
-
-    def local(r, s):
-        out = plan.xcorr(r, s, batch_size=bs, step=step)
-        caf = out[0] if isinstance(out, tuple) else out
-        flat = caf.reshape(-1)
-        i = jnp.argmax(flat)
-        si, fi = i // caf.shape[-1], i % caf.shape[-1]
-        peaks = jax.lax.all_gather(flat[i], axis)
-        sbest = jax.lax.all_gather(s[si], axis)
-        fbest = jax.lax.all_gather(fi.astype(jnp.int32), axis)
-        j = jnp.argmax(peaks)
-        return peaks[j], sbest[j], fbest[j]
-
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
-                               out_specs=(P(), P(), P()), check_vma=False))
-    return fn(rx, shifts)
+    return _group_peak_fn(plan, mesh, axis, bs, step)(rx, shifts)

@@ -13,11 +13,41 @@ This re-expresses the reference's channel/time-striped threading
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from pydsproutines_tpu.ops.wola import wola
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_wola_fn(mesh, axis, dec, n, L, jump, rows_per_dev):
+    def local(tp, xl):
+        i = jax.lax.axis_index(axis)
+        nd = jax.lax.axis_size(axis)
+        tail = xl[-L:]
+        perm = [(d, d + 1) for d in range(nd - 1)]
+        halo = jax.lax.ppermute(tail, axis, perm)
+        halo = jnp.where(i == 0, jnp.zeros_like(halo), halo)
+        y = jnp.concatenate([halo, xl])
+        # local row r of wola(y) <-> global row i*rows_per_dev - jump + r
+        row_offset = i * rows_per_dev - jump
+        ch = wola(tp, y, dec, n, row_offset=row_offset)
+        return ch[jump:, :]
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                                 out_specs=P(axis), check_vma=False))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_mc_wola_fn(mesh, axis, dec, n):
+    def local(tp, xl):
+        return jax.vmap(lambda row: wola(tp, row, dec, n))(xl)
+
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                                 out_specs=P(axis), check_vma=False))
 
 
 def sharded_wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
@@ -38,22 +68,8 @@ def sharded_wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
         raise ValueError("per-device block must be >= filter length")
     jump = L // dec
     rows_per_dev = block // dec
-
-    def local(tp, xl):
-        i = jax.lax.axis_index(axis)
-        nd = jax.lax.axis_size(axis)
-        tail = xl[-L:]
-        perm = [(d, d + 1) for d in range(nd - 1)]
-        halo = jax.lax.ppermute(tail, axis, perm)
-        halo = jnp.where(i == 0, jnp.zeros_like(halo), halo)
-        y = jnp.concatenate([halo, xl])
-        # local row r of wola(y) <-> global row i*rows_per_dev - jump + r
-        row_offset = i * rows_per_dev - jump
-        ch = wola(tp, y, dec, n, row_offset=row_offset)
-        return ch[jump:, :]
-
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
-                               out_specs=P(axis), check_vma=False))
+    fn = _sharded_wola_fn(mesh, axis, int(dec), int(n), int(L), int(jump),
+                          int(rows_per_dev))
     return fn(f_tap, x)
 
 
@@ -74,10 +90,5 @@ def sharded_multichannel_wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int,
         raise ValueError("x must be (channels, len)")
     if x.shape[0] % ndev != 0:
         raise ValueError("channel count must divide evenly over the mesh axis")
-
-    def local(tp, xl):
-        return jax.vmap(lambda row: wola(tp, row, dec, n))(xl)
-
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
-                               out_specs=P(axis), check_vma=False))
+    fn = _sharded_mc_wola_fn(mesh, axis, int(dec), int(n))
     return fn(f_tap, x)

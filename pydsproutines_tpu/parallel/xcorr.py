@@ -7,6 +7,10 @@ are sharded across the mesh with shard_map — each device gathers its own rx
 slices (rx is replicated; slices stay local) and runs the same batched
 gather->FFT->argmax pipeline as the single-chip path. Peak reduction uses an
 all-gather of per-device scalar peaks (negligible bytes on ICI).
+
+The jitted shard_map programs are CACHED per (mesh, geometry): building a
+fresh closure per call made every invocation recompile (~seconds), which
+poisoned the round-3 weak-scaling harness before it poisoned anything else.
 """
 
 from __future__ import annotations
@@ -21,6 +25,27 @@ from jax.sharding import PartitionSpec as P
 from pydsproutines_tpu.ops.xcorr import _fast_xcorr_impl, _uniform_step
 
 
+@functools.lru_cache(maxsize=128)
+def _xcorr_fn(mesh, axis, n, step, bs, freqsearch, abs_result):
+    local = functools.partial(
+        _fast_xcorr_impl, n=n, freqsearch=freqsearch, output_caf=False,
+        abs_result=abs_result, batch_size=bs, step=step)
+    spec_out = (P(axis), P(axis)) if freqsearch else P(axis)
+    return jax.jit(jax.shard_map(
+        lambda c, r, s: local(c, r, s),
+        mesh=mesh, in_specs=(P(), P(), P(axis)), out_specs=spec_out,
+        check_vma=False))
+
+
+def _split(shifts, mesh, axis, batch_size):
+    step = _uniform_step(shifts)
+    shifts = jnp.asarray(shifts)
+    nper = shifts.shape[0] // mesh.shape[axis]
+    if nper * mesh.shape[axis] != shifts.shape[0]:
+        raise ValueError("len(shifts) must divide evenly over the mesh axis")
+    return step, shifts, int(min(batch_size, nper))
+
+
 def sharded_fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray,
                        shifts: jnp.ndarray, mesh: jax.sharding.Mesh,
                        axis: str = "dsp", freqsearch: bool = True,
@@ -30,43 +55,14 @@ def sharded_fast_xcorr(cutout: jnp.ndarray, rx: jnp.ndarray,
     ``len(shifts)`` must be divisible by the mesh axis size. Returns the same
     outputs as fast_xcorr (QF^2 [+ freq bins]), gathered across devices.
     """
-    step = _uniform_step(shifts)
-    shifts = jnp.asarray(shifts)
-    nper = shifts.shape[0] // mesh.shape[axis]
-    if nper * mesh.shape[axis] != shifts.shape[0]:
-        raise ValueError("len(shifts) must divide evenly over the mesh axis")
-    n = cutout.shape[-1]
-    bs = int(min(batch_size, nper))
-
-    local = functools.partial(
-        _fast_xcorr_impl, n=n, freqsearch=freqsearch, output_caf=False,
-        abs_result=abs_result, batch_size=bs, step=step)
-
-    spec_in = (P(), P(), P(axis))
-    spec_out = (P(axis), P(axis)) if freqsearch else P(axis)
-    fn = jax.jit(jax.shard_map(
-        lambda c, r, s: local(c, r, s),
-        mesh=mesh, in_specs=spec_in, out_specs=spec_out, check_vma=False))
+    step, shifts, bs = _split(shifts, mesh, axis, batch_size)
+    fn = _xcorr_fn(mesh, axis, int(cutout.shape[-1]), step, bs,
+                   bool(freqsearch), bool(abs_result))
     return fn(cutout, rx, shifts)
 
 
-def sharded_caf_peak(cutout: jnp.ndarray, rx: jnp.ndarray,
-                     shifts: jnp.ndarray, mesh: jax.sharding.Mesh,
-                     axis: str = "dsp", batch_size: int = 128):
-    """Global CAF peak with minimal cross-device traffic: each device reduces
-    its own shift range to (best QF^2, best shift, best freq bin) and only
-    those scalars cross the ICI (psum-style all-gather + argmax).
-
-    Returns (qf2_peak, best_shift, best_freq_bin) as scalars.
-    """
-    step = _uniform_step(shifts)
-    shifts = jnp.asarray(shifts)
-    nper = shifts.shape[0] // mesh.shape[axis]
-    if nper * mesh.shape[axis] != shifts.shape[0]:
-        raise ValueError("len(shifts) must divide evenly over the mesh axis")
-    n = cutout.shape[-1]
-    bs = int(min(batch_size, nper))
-
+@functools.lru_cache(maxsize=128)
+def _caf_peak_fn(mesh, axis, n, step, bs):
     def local(c, r, s):
         qf2, freqs = _fast_xcorr_impl(c, r, s, n=n, freqsearch=True,
                                       output_caf=False, abs_result=True,
@@ -79,7 +75,20 @@ def sharded_caf_peak(cutout: jnp.ndarray, rx: jnp.ndarray,
         j = jnp.argmax(peaks)
         return peaks[j], sbest[j], fbest[j]
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(), P(), P(axis)),
         out_specs=(P(), P(), P()), check_vma=False))
+
+
+def sharded_caf_peak(cutout: jnp.ndarray, rx: jnp.ndarray,
+                     shifts: jnp.ndarray, mesh: jax.sharding.Mesh,
+                     axis: str = "dsp", batch_size: int = 128):
+    """Global CAF peak with minimal cross-device traffic: each device reduces
+    its own shift range to (best QF^2, best shift, best freq bin) and only
+    those scalars cross the ICI (psum-style all-gather + argmax).
+
+    Returns (qf2_peak, best_shift, best_freq_bin) as scalars.
+    """
+    step, shifts, bs = _split(shifts, mesh, axis, batch_size)
+    fn = _caf_peak_fn(mesh, axis, int(cutout.shape[-1]), step, bs)
     return fn(cutout, rx, shifts)
