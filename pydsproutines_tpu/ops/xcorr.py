@@ -260,10 +260,14 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         pass over the winning window (~25 us at n=1M) vs ~0.5 ms for a full
         f32 spectrum-peak recompute. Non-winning elements remain bf16-grade.
 
-        The phase integer (k*t) mod n is built overflow-free in int32 by
-        splitting t = t1*S + t2 and k = k1 + (n/S)*k2 with S | n, S ~
-        sqrt(n):  k*t mod n = [S*((k*t1) mod (n/S)) + k1*t2
-        + (n/S)*((k2*t2) mod S)] mod n — every product < max(S, n/S)^2.
+        The tone factors over t = m*S + s (S | n, S ~ sqrt(n)) as
+        e^{-2pi i k t / n} = B1[m] * B2[s], so the dot is ONE pass over pdt
+        reshaped (n/S, S) against a (S, nb) tone block plus an O(n/S)
+        contraction — no (nb, n) phase matrix is ever built (it cost ~int32
+        mod passes over 5n elements). Phase integers stay overflow-free in
+        int32: (k*m*S) mod n = S*((k*m) mod L1) and (k*s) mod n =
+        [k1*s + L1*((k2*s) mod S)] mod n with k = k1 + L1*k2, L1 = n/S —
+        every product < max(S, L1)^2 < 2^31.
         """
         i = jnp.argmax(qf2)
         s = shifts[i]
@@ -272,27 +276,29 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         # S: divisor of n nearest sqrt(n) (host-side; n is static)
         divs = [d for d in range(1, int(np.sqrt(n)) + 1) if n % d == 0]
         S = max(n // divs[-1], divs[-1])
-        M = n // S                                   # both S, M <= ~46341
+        L1 = n // S                                  # both S, L1 <= ~46341
         k0 = bins[i].astype(jnp.int32)
         nb = 5                                       # bins k0-2 .. k0+2
         ks = (k0 + jnp.arange(-(nb // 2), nb // 2 + 1)) % n   # (nb,)
-        t = jnp.arange(n, dtype=jnp.int32)
-        t1 = t // S
-        t2 = t % S
-        kmodM = ks % M                               # (nb,)
-        k1 = ks % M
-        k2 = ks // M
-        term1 = S * ((kmodM[:, None] * t1[None, :]) % M)
-        term2 = k1[:, None] * t2[None, :]
-        term3 = M * ((k2[:, None] * t2[None, :]) % S)
-        ph = (term1 + term2 + term3) % n             # (nb, n) int32, exact
-        ang = (-2.0 * np.pi / n) * ph.astype(rdt)
-        er = jnp.cos(ang)
-        ei = jnp.sin(ang)
-        prr = jnp.real(pdt).astype(rdt)
-        pii = jnp.imag(pdt).astype(rdt)
-        vr = er @ prr - ei @ pii                     # (nb,)
-        vi = er @ pii + ei @ prr
+        k1 = ks % L1
+        k2 = ks // L1
+        m_idx = jnp.arange(L1, dtype=jnp.int32)
+        s_idx = jnp.arange(S, dtype=jnp.int32)
+        ang1 = (-2.0 * np.pi / n) * (
+            S * ((k1[:, None] * m_idx[None, :]) % L1)).astype(rdt)  # (nb,L1)
+        ph2 = (k1[:, None] * s_idx[None, :]
+               + L1 * ((k2[:, None] * s_idx[None, :]) % S)) % n
+        ang2 = (-2.0 * np.pi / n) * ph2.astype(rdt)              # (nb, S)
+        b1r, b1i = jnp.cos(ang1), jnp.sin(ang1)
+        b2r, b2i = jnp.cos(ang2), jnp.sin(ang2)
+        p2r = jnp.real(pdt).astype(rdt).reshape(L1, S)
+        p2i = jnp.imag(pdt).astype(rdt).reshape(L1, S)
+        mm = functools.partial(jnp.matmul,
+                               precision=jax.lax.Precision.HIGHEST)
+        ir = mm(p2r, b2r.T) - mm(p2i, b2i.T)         # (L1, nb)
+        ii = mm(p2r, b2i.T) + mm(p2i, b2r.T)
+        vr = jnp.sum(b1r.T * ir - b1i.T * ii, axis=0)            # (nb,)
+        vi = jnp.sum(b1r.T * ii + b1i.T * ir, axis=0)
         mag = vr * vr + vi * vi
         j = jnp.argmax(mag)
         rns = (power_cumsum[s + n] - power_cumsum[s]) if use_cumsum \
