@@ -142,7 +142,7 @@ def bench_fft_xcorr(n, nshifts, batch, r_hi=R_HI):
 
     d_cut = jax.device_put(jnp.asarray(cutout_ri))
     d_rx = jax.device_put(jnp.asarray(rx_ri))
-    dt = rep_differenced(step, d_cut, d_rx, r_hi=r_hi)
+    dt = rep_differenced(step, d_cut, d_rx, r_hi=r_hi, max_r_hi=16)
     return n * nshifts / dt / 1e9  # G(sample*shift)/s
 
 
@@ -175,7 +175,9 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
         return jnp.stack(outs)
 
     d_x = jax.device_put(jnp.asarray(x_ri))
-    dt = rep_differenced(step, d_x)
+    # unrolled-rep program: cap escalation (each r_hi recompiles a program
+    # r_hi x the chain; axon compile latency makes r_hi=64 a 30+ min build)
+    dt = rep_differenced(step, d_x, max_r_hi=16)
     rate = n / dt / 1e9  # GS/s input
 
     # CPU tier baseline (reference numpy/scipy path) at reduced size
@@ -211,7 +213,7 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
         return jnp.stack(outs)
 
     d_x = jax.device_put(jnp.asarray(x_ri))
-    dt = rep_differenced(step, d_x)
+    dt = rep_differenced(step, d_x, max_r_hi=16)   # unrolled-rep program
     rate = n / dt / 1e9
 
     # CPU tier baseline: vectorized numpy WOLA fold + batched IFFT
@@ -263,7 +265,7 @@ def bench_group_xcorr(m=8, glen=4096, nfreq=128, nshifts=1024):
         return jnp.stack(outs)
 
     d_rx = jax.device_put(jnp.asarray(rx_ri))
-    dt = rep_differenced(step, d_rx)
+    dt = rep_differenced(step, d_rx, max_r_hi=16)   # unrolled-rep program
     rate = m * glen * nshifts / dt / 1e9  # Gsample-shift/s
 
     # CPU tier baseline: scipy czt per group per shift (reference
