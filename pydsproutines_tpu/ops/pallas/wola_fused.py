@@ -70,7 +70,7 @@ def _pick_kb(n: int, B: int) -> int:
     return (kb // 8) * 8
 
 
-def _kernel(x_hbm, t2, w4, out, scratch, sems, *, kb: int, B: int,
+def _kernel(x_hbm, t3, w4, out, scratch, sems, *, kb: int, B: int,
             cols: int, nsteps: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -84,7 +84,7 @@ def _kernel(x_hbm, t2, w4, out, scratch, sems, *, kb: int, B: int,
         # rows [step*kb - B, step*kb + kb); valid for step >= 1
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(step * kb - B, kb + B), :],
-            scratch.at[slot_], sems.at[slot_])
+            scratch.at[slot_, pl.ds(0, kb + B), :], sems.at[slot_])
 
     def head_copy(slot_):
         # step 0: history rows are implicit zeros
@@ -95,6 +95,10 @@ def _kernel(x_hbm, t2, w4, out, scratch, sems, *, kb: int, B: int,
     @pl.when(gi == 0)
     def _():
         scratch[slot, :B, :] = jnp.zeros((B, cols), jnp.float32)
+        # the 8 over-read rows are never DMA'd: uninitialized VMEM there
+        # would poison zero-tap FMAs (0 * NaN) — zero them once per slot
+        scratch[0, kb + B:, :] = jnp.zeros((8, cols), jnp.float32)
+        scratch[1, kb + B:, :] = jnp.zeros((8, cols), jnp.float32)
         head_copy(slot).start()
 
     # nsteps is a PYTHON static: at nsteps == 1 the (kb+B)-row descriptor
@@ -114,10 +118,26 @@ def _kernel(x_hbm, t2, w4, out, scratch, sems, *, kb: int, B: int,
     def _():
         head_copy(slot).wait()
 
-    xt = scratch[slot]                               # (kb+B, cols)
-    acc = xt[B: B + kb, :] * t2[0]
-    for s in range(1, B + 1):
-        acc = acc + xt[B - s: B - s + kb, :] * t2[s]
+    # Aligned-fold regrouping: a raw fold sum_s T2[s] * xt[B-s+t] issues
+    # B+1 sublane-UNALIGNED slice-FMAs — Mosaic realigns each with
+    # cross-vreg shuffles and the fold runs ~2x the pure-FMA floor
+    # (measured 2.08 ms/8M, slower than the XLA path). Substituting
+    # a = B - s = 8q + r gives acc[t] = sum_r u_r[t + r] with
+    # u_r[t'] = sum_q t3[r, q] * xt[t' + 8q]: the q-slices are 8-ALIGNED
+    # (free vreg addressing); only the 8 final accumulate-adds are shifted.
+    # t3 re-indexes the fold taps as [r*nq + q] -> T2[B - 8q - r] (zeros
+    # where out of range). The scratch tile carries 8 extra rows so the
+    # widest (q, t') slice stays in bounds; those rows are never DMA'd and
+    # any values they contribute land only in u rows >= kb, which the
+    # acc slice discards.
+    xt = scratch[slot]                               # (kb+B+8, cols)
+    nq = (B + 8) // 8
+    acc = jnp.zeros((kb, cols), jnp.float32)
+    for r in range(8):
+        u = xt[0: kb + 8, :] * t3[r * nq]
+        for q in range(1, nq):
+            u = u + xt[8 * q: 8 * q + kb + 8, :] * t3[r * nq + q]
+        acc = acc + u[r: r + kb, :]
     out[...] = jax.lax.dot_general(
         acc, w4[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -155,6 +175,13 @@ def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
     tap_idx = np.where(c_i == 0, idx0, idxc)
     T = jnp.where(jnp.asarray(valid), h[jnp.asarray(tap_idx)], 0.0)
     t2 = jnp.repeat(T, 2, axis=1)                    # (B+1, cols)
+    # aligned-fold tap table: t3[r*nq + q] = t2[B - 8q - r] (zeros outside)
+    nq = (B + 8) // 8
+    r_i = np.repeat(np.arange(8), nq)
+    q_i = np.tile(np.arange(nq), 8)
+    a_i = B - 8 * q_i - r_i
+    t3 = jnp.where(jnp.asarray((a_i >= 0) & (a_i <= B))[:, None],
+                   t2[jnp.asarray(np.clip(a_i, 0, B))], 0.0)
     w4 = jnp.asarray(_idft_interleaved(n))           # (cols, cols)
 
     xq = x[: rows * n].reshape(rows, n)
@@ -178,7 +205,7 @@ def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
         out_specs=pl.BlockSpec((kb, cols), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps * kb, cols), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, kb + B, cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, kb + B + 8, cols), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -188,6 +215,6 @@ def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
             transcendentals=0,
             bytes_accessed=4 * xi.size + 4 * nsteps * kb * cols),
         interpret=interpret,
-    )(xi, t2, w4)
+    )(xi, t3, w4)
     o = out[:rows].reshape(rows, n, 2)
     return jax.lax.complex(o[..., 0], o[..., 1])
