@@ -82,7 +82,8 @@ def _band_matrix(taps_r: np.ndarray | jnp.ndarray, up: int, down: int):
     return Kj, Lh, W
 
 
-def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths):
+def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
+            prec: str = "highest"):
     """rest = K part refs (r of them), out ref, double-buffered scratch
     (2 slots), DMA semaphore pair.
 
@@ -125,7 +126,9 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths):
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision={"highest": jax.lax.Precision.HIGHEST,
+                   "high": jax.lax.Precision.HIGH,
+                   "default": jax.lax.Precision.DEFAULT}[prec])
 
     for p in range(2):
         acc = jnp.zeros((bt, cols), jnp.float32)
@@ -137,10 +140,12 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths):
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down", "n_out",
-                                             "interpret"))
+                                             "interpret", "bt", "prec"))
 def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
                            up: int, down: int, n_out: int,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           bt: int = _BT, prec: str = "highest"
+                           ) -> jnp.ndarray:
     """planes: (2, n) float32. Returns (2, n_out) float32 (scipy upfirdn of
     each plane with real taps)."""
     import jax.experimental.pallas as pl
@@ -160,11 +165,11 @@ def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
         kparts.append(kp)
 
     nb = -(-n_out // cols)
-    nsteps = -(-nb // _BT)
+    nsteps = -(-nb // bt)
     # padded input rows: window of block b (+part j) reads row b+j; the DMA
     # row count is rounded to the 8-sublane tiling, so pad to that too
     extra = (-(-(r - 1) // 8)) * 8
-    nrows = nsteps * _BT + extra
+    nrows = nsteps * bt + extra
     left = Lh - 1
     need = nrows * R
     xp = jnp.pad(planes.astype(jnp.float32),
@@ -172,22 +177,22 @@ def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
     x_rows = xp[:, :need].reshape(2, nrows, R)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, r=r, bt=_BT, R=R, cols=cols,
-                          widths=tuple(widths)),
+        functools.partial(_kernel, r=r, bt=bt, R=R, cols=cols,
+                          widths=tuple(widths), prec=prec),
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * r,
-        out_specs=pl.BlockSpec((2, 1, _BT, cols), lambda g: (0, g, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, bt, cols), lambda g: (0, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, nsteps, _BT, cols), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, 2, _BT + extra, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, nsteps, bt, cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 2, bt + extra, R), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nsteps * 2 * _BT * sum(widths) * cols,
+            flops=2 * nsteps * 2 * bt * sum(widths) * cols,
             transcendentals=0,
-            bytes_accessed=4 * x_rows.size + 4 * 2 * nsteps * _BT * cols),
+            bytes_accessed=4 * x_rows.size + 4 * 2 * nsteps * bt * cols),
         interpret=interpret,
     )(x_rows, *kparts)
     return out.reshape(2, -1)[:, :n_out]
