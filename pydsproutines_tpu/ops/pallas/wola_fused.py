@@ -4,25 +4,43 @@ Reference semantics: the threaded WOLA C DLL fold+IFFT
 (/root/reference/multiChannelWola.c:79-101) — here fused into ONE kernel so
 the 8M-sample channelize is a single HBM read + single HBM write.
 
-Design (v5e): the complex64 input is BITCAST to interleaved f32 lanes
-(rows, 2N) — lane 2c is Re(channel-column c of xq = x.reshape(rows, N)),
-lane 2c+1 is Im — a free reinterpret, no copy. Per kb-row grid step:
+Design (v5e, N == 64): the kernel works in PAIR-ROW plane layout. Each f32
+plane of xq = x.reshape(rows, 64) is VIEWED as (rows/2, 128) — lane
+64*p + c of pair row t is xq[2t + p, c]. That view is a pure reshape (no
+data movement), which is the whole point: two earlier layouts lost more time
+converting than the kernel takes to run —
 
-1. DMA rows [g*kb - B, g*kb + kb) into VMEM (double-buffered; step 0 zeroes
-   the B-row history instead — x is implicitly zero before index 0).
-2. Polyphase fold on the VPU: g[t, l] = sum_s T2[s, l] * xt[B - s + t, l],
-   B+1 static sublane-shifted FMAs. T2 carries the xq-column-order taps
-   (the a <-> (N-a)%N phase permutation is absorbed downstream, exactly as
-   ops/wola._wola_fold_matmul), duplicated per interleaved lane pair, with
-   the c == 0 column's one-row alignment offset folded into the shift index.
-3. IDFT as ONE real (kb, 2N) @ (2N, 2N) MXU matmul: W4 interleaves the
-   row-permuted conjugate DFT matrix as [[Re, Im], [-Im, Re]] 2x2 lane
-   blocks, so complex multiply-accumulate happens inside a single full-width
-   f32 matmul and the output stays interleaved.
+* re/im-INTERLEAVED lanes via jnp.stack(..., axis=-1): the minor-dim-2
+  relayout cost ~1.2 ms/8M on v5e, 2x the entire kernel
+  (benchmarks/exp_wola_anatomy.py: kernel alone 0.58 ms, public path 1.79).
+* plane-CONCAT lanes with (rows, 64) plane DMAs: Mosaic cannot DMA 64-lane
+  HBM slices (tpu.memref_slice to ...x64xf32 fails to infer).
 
-The (rows, 2N) f32 output bitcasts straight back to (rows, N) complex64 —
-again free. Measured HBM traffic is therefore the 2-pass minimum; the fold
-(VPU) and IDFT (MXU) overlap the DMA stream.
+Per kb-row grid step (pair rows):
+
+1. DMA pair rows [g*kb - B/2, g*kb + kb) of BOTH planes in one descriptor
+   (double-buffered; step 0 zeroes the B/2-row history instead — x is
+   implicitly zero before index 0).
+2. Polyphase fold on the VPU, split by tap parity. Even taps s = 2u touch
+   the same pair row at shift u: B/2+1 sublane-shifted FMAs against the
+   lane-duplicated even tap table. Odd taps s = 2u+1 cross row parity:
+   they read the companion tile yt = select(lane < 64, zt[j-1], zt[j]) with
+   zt = roll(xt, 64 lanes), built ONCE per tile (3 VPU passes), then fold
+   exactly like the even half. Both folds use the aligned (r, q) regrouping
+   (q-slices 8-sublane-aligned; only 8 final accumulate-adds are shifted) —
+   the naive unaligned fold measured ~2x the FMA floor. Tap tables carry the
+   xq-column-order taps (the a <-> (N-a)%N phase permutation is absorbed
+   downstream, exactly as ops/wola._wola_fold_matmul), with the c == 0
+   column's one-row alignment offset folded into the shift index.
+3. IDFT as ONE real (kb, 256) @ (256, 256) MXU matmul: G = [g_re | g_im]
+   pair-layout planes, and WW = [[D(Wr), D(Wi)], [-D(Wi), D(Wr)]] where
+   D(A) = blockdiag(A, A) applies the row-permuted conjugate 64-point DFT
+   to each row of the pair and the outer 2x2 does the complex arithmetic.
+   Output is [out_re | out_im], still pair-layout — every reshape back to
+   (rows, 64) planes is free.
+
+Measured HBM traffic is the 2-pass minimum; the fold (VPU) and IDFT (MXU)
+overlap the DMA stream.
 """
 
 from __future__ import annotations
@@ -34,44 +52,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _idft_interleaved(n: int) -> np.ndarray:
-    """(2n, 2n) f32: row-permuted conj-DFT matrix as [[Re,Im],[-Im,Re]]
-    interleaved 2x2 blocks, so interleaved-complex @ W4 == complex @ Wp."""
+def _idft_pair_block(n: int) -> np.ndarray:
+    """(4n, 4n) f32 for the pair layout: WW = [[D(Wr), D(Wi)],
+    [-D(Wi), D(Wr)]], D(A) = blockdiag(A, A), W = row-permuted conj-DFT."""
     k = np.arange(n, dtype=np.float64)
     wconj = np.exp(2j * np.pi * np.mod(np.outer(k, k), n) / n)
     perm = (-np.arange(n)) % n                       # xq column c -> phase a
     Wp = wconj[perm]
-    W4 = np.zeros((2 * n, 2 * n), np.float32)
-    W4[0::2, 0::2] = Wp.real
-    W4[0::2, 1::2] = Wp.imag
-    W4[1::2, 0::2] = -Wp.imag
-    W4[1::2, 1::2] = Wp.real
-    return W4
+
+    def D(a):
+        z = np.zeros((2 * n, 2 * n), np.float32)
+        z[:n, :n] = a
+        z[n:, n:] = a
+        return z
+
+    return np.block([[D(Wp.real), D(Wp.imag)],
+                     [-D(Wp.imag), D(Wp.real)]])
 
 
 def wola_fused_viable(n_ch: int, dec: int, taps: int, rows: int,
                       dtype) -> bool:
     if n_ch != dec:
         return False
-    if (2 * n_ch) % 128 != 0 or n_ch > 512:
-        return False                                 # lane tiling
+    if n_ch != 64:
+        return False                                 # pair layout: 2 rows/vreg
     B = taps // n_ch
-    if B % 8 != 0 or B > 256:
-        return False                                 # sublane-aligned DMA
+    if B % 16 != 0 or B > 256:
+        return False                                 # even/odd split + align
     if rows < 2048:
         return False                                 # too small to matter
     return jnp.dtype(dtype) == jnp.complex64
 
 
-def _pick_kb(n: int, B: int) -> int:
-    # ~1 MB per scratch slot; kb multiple of 8 (and of B's alignment)
-    kb = max(256, (1 << 20) // (2 * n * 4))
-    kb = min(kb, 2048)
-    return (kb // 8) * 8
+def _pick_kb2(n: int, B: int) -> int:
+    return 1024
 
 
-def _kernel(x_hbm, t3, w4, out, scratch, sems, *, kb: int, B: int,
-            cols: int, nsteps: int):
+def _kernel(xre_hbm, xim_hbm, t3e, t3o, ww, out, scratch, sems, *, kb: int,
+            H: int, nq: int, nsteps: int):
+    """kb: pair rows per step. H = B/2 history pair rows. Tile rows =
+    H + kb + 8 (8 over-read rows for the aligned-fold regrouping). The two
+    planes arrive as SEPARATE HBM refs so the caller never materializes a
+    stacked (2, rows, n) operand (the imag plane is a pure reshape view;
+    the stack cost a measured ~0.3 ms/8M)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -79,94 +102,89 @@ def _kernel(x_hbm, t3, w4, out, scratch, sems, *, kb: int, B: int,
     two = jnp.asarray(2, gi.dtype)
     slot = jax.lax.rem(gi, two)
     nslot = jax.lax.rem(gi + 1, two)
+    planes_hbm = (xre_hbm, xim_hbm)
 
-    def full_copy(step, slot_):
-        # rows [step*kb - B, step*kb + kb); valid for step >= 1
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(step * kb - B, kb + B), :],
-            scratch.at[slot_, pl.ds(0, kb + B), :], sems.at[slot_])
+    def full_copies(step, slot_):
+        # pair rows [step*kb - H, step*kb + kb); valid for step >= 1
+        return [pltpu.make_async_copy(
+            planes_hbm[p].at[pl.ds(step * kb - H, kb + H), :],
+            scratch.at[slot_, p, pl.ds(0, kb + H), :], sems.at[slot_, p])
+            for p in range(2)]
 
-    def head_copy(slot_):
+    def head_copies(slot_):
         # step 0: history rows are implicit zeros
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, kb), :],
-            scratch.at[slot_, pl.ds(B, kb), :], sems.at[slot_])
+        return [pltpu.make_async_copy(
+            planes_hbm[p].at[pl.ds(0, kb), :],
+            scratch.at[slot_, p, pl.ds(H, kb), :], sems.at[slot_, p])
+            for p in range(2)]
 
     @pl.when(gi == 0)
     def _():
-        scratch[slot, :B, :] = jnp.zeros((B, cols), jnp.float32)
+        scratch[slot, :, :H, :] = jnp.zeros((2, H, 128), jnp.float32)
         # the 8 over-read rows are never DMA'd: uninitialized VMEM there
         # would poison zero-tap FMAs (0 * NaN) — zero them once per slot
-        scratch[0, kb + B:, :] = jnp.zeros((8, cols), jnp.float32)
-        scratch[1, kb + B:, :] = jnp.zeros((8, cols), jnp.float32)
-        head_copy(slot).start()
+        scratch[0, :, kb + H:, :] = jnp.zeros((2, 8, 128), jnp.float32)
+        scratch[1, :, kb + H:, :] = jnp.zeros((2, 8, 128), jnp.float32)
+        for c in head_copies(slot):
+            c.start()
 
-    # nsteps is a PYTHON static: at nsteps == 1 the (kb+B)-row descriptor
+    # nsteps is a PYTHON static: at nsteps == 1 the (kb+H)-row descriptor
     # would not even fit the operand shape at trace time, so the full-copy
     # branches must not be constructed at all
     if nsteps > 1:
         @pl.when(gi + 1 < nsteps)
         def _():
-            full_copy(gi + 1, nslot).start()
+            for c in full_copies(gi + 1, nslot):
+                c.start()
 
         # waits must mirror the started copy exactly (byte counts differ)
         @pl.when(gi > 0)
         def _():
-            full_copy(gi, slot).wait()
+            for c in full_copies(gi, slot):
+                c.wait()
 
     @pl.when(gi == 0)
     def _():
-        head_copy(slot).wait()
+        for c in head_copies(slot):
+            c.wait()
 
-    # Aligned-fold regrouping: a raw fold sum_s T2[s] * xt[B-s+t] issues
-    # B+1 sublane-UNALIGNED slice-FMAs — Mosaic realigns each with
-    # cross-vreg shuffles and the fold runs ~2x the pure-FMA floor
-    # (measured 2.08 ms/8M, slower than the XLA path). Substituting
-    # a = B - s = 8q + r gives acc[t] = sum_r u_r[t + r] with
-    # u_r[t'] = sum_q t3[r, q] * xt[t' + 8q]: the q-slices are 8-ALIGNED
-    # (free vreg addressing); only the 8 final accumulate-adds are shifted.
-    # t3 re-indexes the fold taps as [r*nq + q] -> T2[B - 8q - r] (zeros
-    # where out of range). The scratch tile carries 8 extra rows so the
-    # widest (q, t') slice stays in bounds; those rows are never DMA'd and
-    # any values they contribute land only in u rows >= kb, which the
-    # acc slice discards.
-    xt = scratch[slot]                               # (kb+B+8, cols)
-    nq = (B + 8) // 8
-    acc = jnp.zeros((kb, cols), jnp.float32)
-    for r in range(8):
-        u = xt[0: kb + 8, :] * t3[r * nq]
-        for q in range(1, nq):
-            u = u + xt[8 * q: 8 * q + kb + 8, :] * t3[r * nq + q]
-        acc = acc + u[r: r + kb, :]
-    out[...] = jax.lax.dot_general(
-        acc, w4[...], dimension_numbers=(((1,), (0,)), ((), ())),
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kb + H + 8, 128), 1)
+
+    def fold(plane):
+        xt = scratch[slot, plane]                    # (kb+H+8, 128)
+        # odd-parity companion: yt[j, c] = xq[2j-1, c], yt[j, 64+c] = xq[2j, c]
+        zt = pltpu.roll(xt, 64, 1)
+        zprev = jnp.concatenate([zt[:1, :], zt[:-1, :]], axis=0)
+        yt = jnp.where(lane < 64, zprev, zt)
+        acc = jnp.zeros((kb, 128), jnp.float32)
+        for r in range(8):
+            u = xt[0: kb + 8, :] * t3e[r * nq] + yt[0: kb + 8, :] * t3o[r * nq]
+            for q in range(1, nq):
+                u = u + xt[8 * q: 8 * q + kb + 8, :] * t3e[r * nq + q] \
+                      + yt[8 * q: 8 * q + kb + 8, :] * t3o[r * nq + q]
+            acc = acc + u[r: r + kb, :]
+        return acc
+
+    g = jnp.concatenate([fold(0), fold(1)], axis=-1)  # (kb, 256)
+    res = jax.lax.dot_general(
+        g, ww[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
+    out[0, 0] = res[:, :128]
+    out[1, 0] = res[:, 128:]
 
 
-@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
-def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
-               interpret: bool = False) -> jnp.ndarray:
-    """Fused-channelizer entry: complex64 x, n == dec. Returns
-    (len(x)//dec, n) complex64 identical to ops.wola.wola()."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    assert n == dec
+def _fold_tables(f_tap, n: int, B: int):
+    """Pair-layout aligned-fold tap tables t3e/t3o: (8*nq, 128) with
+    t3e[r*nq+q] = Tec[H - 8q - r] (even taps s = 2u), t3o likewise for odd
+    taps s = 2u+1 read through the yt companion tile."""
     taps = f_tap.shape[-1]
-    B = taps // n
-    rows = x.shape[-1] // dec
-    cols = 2 * n
-    kb = _pick_kb(n, B)
-    nsteps = -(-rows // kb)
-
-    # Fold tap table T[s, c]: g[k, c] = sum_s T[s, c] * xq[k - s, c] with
+    h = jnp.real(f_tap).astype(jnp.float32)
+    # base table T[s, c]: g[k, c] = sum_s T[s, c] * xq[k - s, c] with
     #   T[s, 0] = h[s*n] (s < B);  T[s, c>0] = h[(s-1)*n + n - c] (s >= 1)
     # — xq-column order (phase permutation absorbed by the IDFT row perm),
     # the c == 0 one-row alignment offset folded into the shift index. Built
-    # with a static-index gather so traced taps also work (same trick as
-    # _wola_fold_matmul).
-    h = jnp.real(f_tap).astype(jnp.float32)
+    # with a static-index gather so traced taps also work.
     s_i = np.arange(B + 1)[:, None]
     c_i = np.arange(n)[None, :]
     idx0 = np.clip(s_i * n, 0, taps - 1)
@@ -174,47 +192,99 @@ def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
     valid = np.where(c_i == 0, s_i < B, s_i >= 1)
     tap_idx = np.where(c_i == 0, idx0, idxc)
     T = jnp.where(jnp.asarray(valid), h[jnp.asarray(tap_idx)], 0.0)
-    t2 = jnp.repeat(T, 2, axis=1)                    # (B+1, cols)
-    # aligned-fold tap table: t3[r*nq + q] = t2[B - 8q - r] (zeros outside)
-    nq = (B + 8) // 8
-    r_i = np.repeat(np.arange(8), nq)
-    q_i = np.tile(np.arange(nq), 8)
-    a_i = B - 8 * q_i - r_i
-    t3 = jnp.where(jnp.asarray((a_i >= 0) & (a_i <= B))[:, None],
-                   t2[jnp.asarray(np.clip(a_i, 0, B))], 0.0)
-    w4 = jnp.asarray(_idft_interleaved(n))           # (cols, cols)
 
-    xq = x[: rows * n].reshape(rows, n)
-    # interleaved f32 lanes: 2c = Re, 2c+1 = Im. An explicit stack (rather
-    # than a bitcast view) so XLA can fuse it with the producer — when the
-    # caller builds x from real planes inside the same jit, no intermediate
-    # complex array is ever materialized.
-    xi = jnp.stack([jnp.real(xq).astype(jnp.float32),
-                    jnp.imag(xq).astype(jnp.float32)],
-                   axis=-1).reshape(rows, cols)
-    pad_rows = nsteps * kb - rows
-    if pad_rows:
-        xi = jnp.pad(xi, ((0, pad_rows), (0, 0)))
+    H = B // 2
+    nq = (H + 8) // 8
+    # even taps: u in [0, H]; odd taps: u in [0, H-1]
+    # u_r[t'] = sum_q t3[r*nq+q] * tile[t' + 8q]; acc[t] = sum_r u_r[t + r]
+    # reads tile row H + t - u  =>  tap sub-index u = H - 8q - r
+    u_i = H - 8 * np.tile(np.arange(nq), 8) - np.repeat(np.arange(8), nq)
+    ve = (u_i >= 0) & (u_i <= H)                     # even taps s = 2u
+    vo = (u_i >= 0) & (u_i <= H - 1)                 # odd taps s = 2u + 1
+    se = np.clip(2 * u_i, 0, B)
+    so = np.clip(2 * u_i + 1, 0, B)
+    t3e = jnp.where(jnp.asarray(ve)[:, None], T[jnp.asarray(se)], 0.0)
+    t3o = jnp.where(jnp.asarray(vo)[:, None], T[jnp.asarray(so)], 0.0)
+    # duplicate across the two pair-row lane halves
+    t3e = jnp.concatenate([t3e, t3e], axis=1)
+    t3o = jnp.concatenate([t3o, t3o], axis=1)
+    return t3e, t3o, H, nq
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
+def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
+                       dec: int, n: int,
+                       interpret: bool = False) -> tuple:
+    """Fused-channelizer core: ``re``/``im`` are (rows, n) float32 planes of
+    xq = x.reshape(rows, n); returns (out_re, out_im) planes, each (rows, n)
+    float32 (identical numbers to ops.wola.wola()). Keeping the planes as
+    separate operands lets XLA feed pure reshape views straight into the
+    kernel — no stacked intermediate is ever materialized."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n == dec and n == 64
+    taps = f_tap.shape[-1]
+    B = taps // n
+    rows = re.shape[0]
+    t3e, t3o, H, nq = _fold_tables(f_tap, n, B)
+    ww = jnp.asarray(_idft_pair_block(n))            # (256, 256)
+
+    kb = _pick_kb2(n, B)
+    rows2 = -(-rows // 2)
+    nsteps = -(-rows2 // kb)
+    pad = nsteps * kb * 2 - rows
+
+    def prep(p):
+        p = p.astype(jnp.float32)
+        if pad:
+            p = jnp.pad(p, ((0, pad), (0, 0)))
+        return p.reshape(nsteps * kb, 2 * n)         # pair-row view (free)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, kb=kb, B=B, cols=cols, nsteps=nsteps),
+        functools.partial(_kernel, kb=kb, H=H, nq=nq, nsteps=nsteps),
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((kb, cols), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((2, 1, kb, 2 * n), lambda g: (0, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps * kb, cols), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, kb + B + 8, cols), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        out_shape=jax.ShapeDtypeStruct((2, nsteps, kb, 2 * n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 2, kb + H + 8, 2 * n), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nsteps * kb * cols * cols
-            + 2 * nsteps * kb * cols * (B + 1),
+            flops=2 * nsteps * kb * 4 * n * 4 * n
+            + 4 * nsteps * kb * 2 * n * (B + 1),
             transcendentals=0,
-            bytes_accessed=4 * xi.size + 4 * nsteps * kb * cols),
+            bytes_accessed=4 * 4 * nsteps * kb * 2 * n),
         interpret=interpret,
-    )(xi, t3, w4)
-    o = out[:rows].reshape(rows, n, 2)
-    return jax.lax.complex(o[..., 0], o[..., 1])
+    )(prep(re), prep(im), t3e, t3o, ww)
+    o = out.reshape(2, nsteps * kb * 2, n)[:, :rows]
+    return o[0], o[1]
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
+def wola_fused_planes(f_tap: jnp.ndarray, planes: jnp.ndarray, dec: int,
+                      n: int, interpret: bool = False) -> jnp.ndarray:
+    """(2, rows, n) stacked-planes convenience wrapper around
+    wola_fused_planes2."""
+    o_re, o_im = wola_fused_planes2(f_tap, planes[0], planes[1], dec, n,
+                                    interpret=interpret)
+    return jnp.stack([o_re, o_im])
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
+def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """Fused-channelizer entry: complex64 x, n == dec. Returns
+    (len(x)//dec, n) complex64 identical to ops.wola.wola()."""
+    rows = x.shape[-1] // dec
+    xq = x[: rows * n].reshape(rows, n)
+    o_re, o_im = wola_fused_planes2(
+        f_tap, jnp.real(xq).astype(jnp.float32),
+        jnp.imag(xq).astype(jnp.float32), dec, n, interpret=interpret)
+    return jax.lax.complex(o_re, o_im)
