@@ -113,13 +113,13 @@ def _viterbi_fast_viable(a: int, k_syms: int, pathlen: int,
                    static_argnames=("up", "pulselen", "k_syms", "pathlen"))
 def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
                  up, pulselen, k_syms, pathlen):
-    """Dispatcher: table-precompute fast path when the code space is small
-    (the common CPFSK/PSK case), else the general scan implementation."""
-    if _viterbi_fast_viable(int(alphabet.shape[0]), k_syms, pathlen,
-                            pulselen):
-        return _viterbi_run_fast(
-            y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
-            pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
+    """Dispatcher. The general scan implementation is the default: on v5e
+    the table-precompute path measured 2x SLOWER at the small code spaces it
+    was built for (3 codes, 64x512 CP2FSK bench: 8.8 ms vs 4.4 ms scan,
+    benchmarks/exp_viterbi_ab.py) — the (pathlen, codes) gather/backtrack
+    overhead exceeds the branch-metric recompute it saves. The table path
+    (_viterbi_run_fast, exact-path parity-tested) remains available for
+    callers with expensive pulse synthesis."""
     return _viterbi_run_scan(
         y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
         pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
