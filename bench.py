@@ -49,7 +49,19 @@ class NoiseDominatedError(RuntimeError):
     """The rep-differenced interval never rose above timer noise."""
 
 
-def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3, max_r_hi=512):
+class TimedSeconds(float):
+    """Per-rep seconds (median across trials) with measurement spread.
+
+    Behaves as a plain float (median) everywhere; ``spread_pct`` is
+    100*(max-min)/median across the independent trials, ``n_trials`` the
+    number of trials that produced a noise-clean reading.
+    """
+    spread_pct: float = 0.0
+    n_trials: int = 1
+
+
+def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3, max_r_hi=512,
+                    trials=3):
     """Run ``step(*args, n_reps)`` at two rep counts; return per-rep seconds.
 
     ``step`` must force all reps to execute (perturbed inputs) and return
@@ -60,6 +72,12 @@ def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3, max_r_hi=512):
     official number.  Now the high rep count escalates geometrically until
     the differenced interval exceeds 5x the observed timer jitter (with an
     absolute floor); if it never does, we raise instead of emitting.
+
+    Round-3 postmortem: a single point estimate made round-over-round deltas
+    indistinguishable from the 8-12% cross-session transport spread.  Each
+    call now runs ``trials`` independent dispatch sequences (fresh salts) at
+    the escalated rep geometry and returns the MEDIAN as a ``TimedSeconds``
+    carrying ``spread_pct`` so the official artifact can publish error bars.
     """
     def timed(nr, salt):
         ts = []
@@ -70,16 +88,20 @@ def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3, max_r_hi=512):
             ts.append(time.perf_counter() - t0)
         return min(ts), max(ts) - min(ts)
 
-    timed(r_lo, 0)  # compile + warm the low-rep program
-    salt = 100
-    while True:
-        timed(r_hi, 0)  # compile + warm the high-rep program
+    def one_trial(salt):
         t_lo, j_lo = timed(r_lo, salt)
         t_hi, j_hi = timed(r_hi, salt)
         diff = t_hi - t_lo
         noise = max(j_lo, j_hi, TIMER_NOISE_FLOOR)
+        return diff, noise
+
+    timed(r_lo, 0)  # compile + warm the low-rep program
+    salt = 100
+    while True:
+        timed(r_hi, 0)  # compile + warm the high-rep program
+        diff, noise = one_trial(salt)
         if diff > 5 * noise:
-            return diff / (r_hi - r_lo)
+            break
         if r_hi >= max_r_hi:
             raise NoiseDominatedError(
                 f"rep-differenced interval noise-dominated at r_hi={r_hi}: "
@@ -87,6 +109,23 @@ def rep_differenced(step, *args, r_lo=R_LO, r_hi=R_HI, tries=3, max_r_hi=512):
                 "emit a clamped value")
         r_hi = min(r_hi * 4, max_r_hi)
         salt += 100
+
+    # extra independent trials at the escalated geometry (compiles cached)
+    dts = [diff / (r_hi - r_lo)]
+    attempts = 0
+    while len(dts) < trials and attempts < 2 * trials:
+        attempts += 1
+        salt += 100
+        diff, noise = one_trial(salt)
+        if diff > 5 * noise:                 # drop transport-hiccup readings
+            dts.append(diff / (r_hi - r_lo))
+
+    med = float(np.median(dts))
+    out = TimedSeconds(med)
+    out.spread_pct = 100.0 * (max(dts) - min(dts)) / med if len(dts) > 1 \
+        else float("nan")
+    out.n_trials = len(dts)
+    return out
 
 
 def jax_tree_first(tree):
@@ -96,16 +135,26 @@ def jax_tree_first(tree):
     return leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf
 
 
-def emit(metric, value, unit, baseline):
+def emit(metric, value, unit, baseline, dt=None):
     value = float(value)
     if not np.isfinite(value) or value <= 0:
         raise ValueError(f"{metric}: non-finite/non-positive value {value!r}")
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(value, 4),
         "unit": unit,
         "vs_baseline": round(value / baseline, 3),
-    }), flush=True)
+    }
+    if isinstance(dt, TimedSeconds):
+        # error bars: median of n_trials independent dispatch sequences;
+        # spread = (max-min)/median. A >10% spread means round-over-round
+        # deltas inside that band are NOISE, not improvements/regressions.
+        if np.isfinite(dt.spread_pct):
+            rec["spread_pct"] = round(dt.spread_pct, 2)
+        rec["n_trials"] = dt.n_trials
+        if not np.isfinite(dt.spread_pct) or dt.spread_pct > 10.0:
+            rec["noisy"] = True
+    print(json.dumps(rec), flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +192,7 @@ def bench_fft_xcorr(n, nshifts, batch, r_hi=R_HI):
     d_cut = jax.device_put(jnp.asarray(cutout_ri))
     d_rx = jax.device_put(jnp.asarray(rx_ri))
     dt = rep_differenced(step, d_cut, d_rx, r_hi=r_hi, max_r_hi=16)
-    return n * nshifts / dt / 1e9  # G(sample*shift)/s
+    return n * nshifts / dt / 1e9, dt  # G(sample*shift)/s
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +237,7 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
     yb = sps.lfilter(h_fir, 1.0, xb)
     zb = sps.upfirdn(h_rs, yb, up, down)
     cpu_rate = nb / (time.perf_counter() - t0) / 1e9
-    return rate, cpu_rate
+    return rate, cpu_rate, dt
 
 
 # ---------------------------------------------------------------------------
@@ -228,7 +277,7 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
     chans = np.fft.ifft(folded, axis=-1) * nch
     cpu_rate = nb / (time.perf_counter() - t0) / 1e9
     del chans
-    return rate, cpu_rate
+    return rate, cpu_rate, dt
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +334,7 @@ def bench_group_xcorr(m=8, glen=4096, nfreq=128, nshifts=1024):
             comb += sp_czt(pdt, k, w, a)
         _ = np.abs(comb) ** 2
     cpu_rate = m * glen * nb_shifts / (time.perf_counter() - t0) / 1e9
-    return rate, cpu_rate
+    return rate, cpu_rate, dt
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +402,7 @@ def bench_qpsk_demod_batch(B=256, nsyms=1024, osr=4, amble_len=32,
         rot = (syms.astype(int) + best[2]) % 4
         _ = PSK_BITMAPS[4][rot]
     cpu_rate = 4 * L / (time.perf_counter() - t0) / 1e6
-    return rate, cpu_rate
+    return rate, cpu_rate, dt
 
 
 def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
@@ -407,7 +456,7 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
             tot = metrics[None, :] + bm
             metrics = tot.min(axis=1)
     cpu_rate = 2 * nsyms / (time.perf_counter() - t0) / 1e6
-    return rate, cpu_rate
+    return rate, cpu_rate, dt
 
 
 def main():
@@ -421,40 +470,44 @@ def main():
             print(f"# {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
+    def _x1m():
+        rate, dt = bench_fft_xcorr(1_000_000, 128, 128)
+        emit("fft_xcorr_freqscan_1Mx128", rate, "Gsample-shift/s",
+             1_000_000 * 128 / 0.29 / 1e9, dt)  # ref GPU best
     if only in (None, "xcorr1m"):
-        guard("xcorr1m", lambda: emit(
-            "fft_xcorr_freqscan_1Mx128", bench_fft_xcorr(1_000_000, 128, 128),
-            "Gsample-shift/s", 1_000_000 * 128 / 0.29 / 1e9))  # ref GPU best
+        guard("xcorr1m", _x1m)
+
+    def _x10m():
+        rate, dt = bench_fft_xcorr(10_000_000, 128, 16, r_hi=2)
+        emit("fft_xcorr_freqscan_10Mx128", rate, "Gsample-shift/s",
+             10_000_000 * 128 / 3.0 / 1e9, dt)  # ref GPU best
     if only in (None, "xcorr10m"):
-        guard("xcorr10m", lambda: emit(
-            "fft_xcorr_freqscan_10Mx128",
-            bench_fft_xcorr(10_000_000, 128, 16, r_hi=2),
-            "Gsample-shift/s", 10_000_000 * 128 / 3.0 / 1e9))  # ref GPU best
+        guard("xcorr10m", _x10m)
     if only in (None, "wola"):
         def _wola():
-            rate, cpu = bench_wola()
-            emit("wola_64ch_8M", rate, "GS/s", cpu)
+            rate, cpu, dt = bench_wola()
+            emit("wola_64ch_8M", rate, "GS/s", cpu, dt)
         guard("wola", _wola)
     if only in (None, "firupfirdn"):
         def _fir():
-            rate, cpu = bench_fir_upfirdn()
-            emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu)
+            rate, cpu, dt = bench_fir_upfirdn()
+            emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu, dt)
         guard("firupfirdn", _fir)
     if only in (None, "groupxcorr"):
         def _gx():
-            rate, cpu = bench_group_xcorr()
+            rate, cpu, dt = bench_group_xcorr()
             emit("group_xcorr_czt_8x4096x128x1024", rate,
-                 "Gsample-shift/s", cpu)
+                 "Gsample-shift/s", cpu, dt)
         guard("groupxcorr", _gx)
     if only in (None, "demod"):
         def _dm():
-            rate, cpu = bench_qpsk_demod_batch()
-            emit("qpsk_demod_batch_256x4096", rate, "Msamples/s", cpu)
+            rate, cpu, dt = bench_qpsk_demod_batch()
+            emit("qpsk_demod_batch_256x4096", rate, "Msamples/s", cpu, dt)
         guard("demod", _dm)
     if only in (None, "viterbi"):
         def _vit():
-            rate, cpu = bench_cp2fsk_viterbi()
-            emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu)
+            rate, cpu, dt = bench_cp2fsk_viterbi()
+            emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu, dt)
         guard("viterbi", _vit)
 
 

@@ -19,8 +19,26 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from bench import rep_differenced
-from pydsproutines_tpu.ops.pallas.wola_fused import (
-    _idft_interleaved, wola_fused)
+from pydsproutines_tpu.ops.pallas.wola_fused import wola_fused
+
+
+def _idft_interleaved(n: int) -> np.ndarray:
+    """(2n, 2n) f32: row-permuted conj-DFT matrix as [[Re,Im],[-Im,Re]]
+    interleaved 2x2 blocks, so interleaved-complex @ W4 == complex @ Wp.
+
+    Inlined here: this script benchmarks the INTERLEAVED-lane layout
+    variant (the one the shipped pair-row kernel replaced), so it needs the
+    interleaved matrix the library no longer ships."""
+    k = np.arange(n, dtype=np.float64)
+    wconj = np.exp(2j * np.pi * np.mod(np.outer(k, k), n) / n)
+    perm = (-np.arange(n)) % n                       # xq column c -> phase a
+    Wp = wconj[perm]
+    W4 = np.zeros((2 * n, 2 * n), np.float32)
+    W4[0::2, 0::2] = Wp.real
+    W4[0::2, 1::2] = Wp.imag
+    W4[1::2, 0::2] = -Wp.imag
+    W4[1::2, 1::2] = Wp.real
+    return W4
 
 N = 8_388_608
 DEC = NCH = 64

@@ -18,9 +18,9 @@ converting than the kernel takes to run —
 
 Per kb-row grid step (pair rows):
 
-1. DMA pair rows [g*kb - B/2, g*kb + kb) of BOTH planes in one descriptor
-   (double-buffered; step 0 zeroes the B/2-row history instead — x is
-   implicitly zero before index 0).
+1. DMA pair rows [g*kb - B/2, g*kb + kb) of both planes — one descriptor
+   PER PLANE with its own semaphore (double-buffered; step 0 zeroes the
+   B/2-row history instead — x is implicitly zero before index 0).
 2. Polyphase fold on the VPU, split by tap parity. Even taps s = 2u touch
    the same pair row at shift u: B/2+1 sublane-shifted FMAs against the
    lane-duplicated even tap table. Odd taps s = 2u+1 cross row parity:
@@ -223,7 +223,13 @@ def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert n == dec and n == 64
+    if n != dec or n != 64:
+        raise ValueError(
+            f"wola_fused supports only the critically-sampled n == dec == 64 "
+            f"pair-row layout (got n={n}, dec={dec}); use ops.wola.wola() — "
+            f"its banded-matmul path handles every geometry, and the "
+            f"dispatcher (ops/wola.py) routes to this kernel automatically "
+            f"when viable.")
     taps = f_tap.shape[-1]
     B = taps // n
     rows = re.shape[0]
@@ -280,8 +286,11 @@ def wola_fused_planes(f_tap: jnp.ndarray, planes: jnp.ndarray, dec: int,
 @functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
 def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
                interpret: bool = False) -> jnp.ndarray:
-    """Fused-channelizer entry: complex64 x, n == dec. Returns
-    (len(x)//dec, n) complex64 identical to ops.wola.wola()."""
+    """Fused-channelizer entry: complex64 x, n == dec == 64 ONLY (the
+    pair-row layout needs exactly 2 channel-rows per 128-lane vreg; other
+    geometries raise ValueError — call ops.wola.wola(), whose dispatcher
+    routes here automatically when viable). Returns (len(x)//dec, n)
+    complex64 identical to ops.wola.wola()."""
     rows = x.shape[-1] // dec
     xq = x[: rows * n].reshape(rows, n)
     o_re, o_im = wola_fused_planes2(

@@ -106,3 +106,94 @@ def test_teme_to_itrs_velocity_term():
     assert np.isclose(np.linalg.norm(v_i), 7.29211514670698e-5 * 7000.0,
                       rtol=1e-6)
     assert np.isclose(np.linalg.norm(r_i), 7000.0)
+
+
+# -- full SGP4 (near-earth) ---------------------------------------------------
+
+# The classic verification TLE from the published SGP4 test suite
+# ("Revisiting Spacetrack Report #3", Vallado et al. 2006, sat 00005 /
+# 1958-002B) with its published WGS72 TEME check states.
+SAT5_L1 = "1 00005U 58002B   00179.78495062  .00000023  00000-0  28098-4 0  4753"
+SAT5_L2 = "2 00005  34.2682 348.7242 1859667 331.7664  19.3264 10.82419157413667"
+SAT5_VECTORS = [
+    # tsince_min, r_teme (km), v_teme (km/s)
+    (0.0, (7022.46529266, -1400.08296755, 0.03995155),
+     (1.893841015, 6.405893759, 4.534807250)),
+    (360.0, (-7154.03120202, -3783.17682504, -3536.19412294),
+     (4.741887409, -4.151817765, -2.093935425)),
+    (720.0, (-7134.59340119, 6531.68641334, 3260.27186483),
+     (-4.113793027, -2.911922039, -2.557327851)),
+    (1080.0, (5568.53901181, 4492.06992591, 3863.87641983),
+     (-4.209106476, 5.159719888, 2.744852980)),
+    (1440.0, (-938.55923943, -6268.18748831, -4294.02924751),
+     (7.536105209, -0.427127707, 0.989878080)),
+]
+
+
+def test_sgp4_published_verification_vectors():
+    """Full 24 h against the published SGP4 check states: < 1 m position
+    error (the round-4 'done' criterion is < 1 km; a correct SGP4 hits
+    floating-point agreement)."""
+    from pydsproutines_tpu.estimation.satellites import SGP4Propagator
+    prop = SGP4Propagator(parse_tle(SAT5_L1, SAT5_L2), WGS72)
+    ts = np.array([row[0] for row in SAT5_VECTORS])
+    r, v = prop.teme_posvel_tsince(ts)
+    for i, (_, r_exp, v_exp) in enumerate(SAT5_VECTORS):
+        assert np.linalg.norm(r[i] - np.asarray(r_exp)) < 1e-3   # km
+        assert np.linalg.norm(v[i] - np.asarray(v_exp)) < 1e-6   # km/s
+
+
+def test_sgp4_drag_term_active():
+    """B* drag must produce a quadratically-growing along-track offset vs a
+    zero-B* clone of the same TLE (decay lowers the orbit, which advances
+    the satellite along track ~ t^2). ISS bstar 3.9e-5 gives ~1 km at
+    1 day, ~100 km at 10 days."""
+    import dataclasses
+    from pydsproutines_tpu.estimation.satellites import SGP4Propagator
+    tle = parse_tle(ISS_L1, ISS_L2)
+    p = SGP4Propagator(tle, WGS72)
+    p0 = SGP4Propagator(dataclasses.replace(tle, bstar=0.0), WGS72)
+    offs = []
+    for d in (1.0, 10.0):
+        t = np.array([d * 1440.0])
+        r, _ = p.teme_posvel_tsince(t)
+        r0, _ = p0.teme_posvel_tsince(t)
+        offs.append(np.linalg.norm(r - r0))
+    assert 0.1 < offs[0] < 10.0                       # ~1 km at 1 day
+    assert 50.0 < offs[1] < 500.0                     # ~100 km at 10 days
+    assert offs[1] > 20 * offs[0]                     # superlinear growth
+
+
+def test_satellite_routes_leo_to_sgp4_and_geo_to_j2():
+    leo = Satellite(ISS_L1, ISS_L2)
+    assert leo.backend == "native-sgp4"
+    geo = Satellite(K7_L1, K7_L2)
+    assert geo.backend == "native-j2"                 # deep-space fallback
+    # full wrapper chain still works through the SGP4 backend
+    gc = sf_propagate_satellite_to_gpstime(leo, 1575806000.0)
+    ecef = sf_geocentric_to_itrs(gc)
+    alt_km = np.linalg.norm(ecef[:, 0]) / 1e3 - 6378.137
+    assert 300.0 < alt_km < 500.0                     # ISS altitude band
+
+
+def test_sgp4_vs_j2_agree_near_epoch():
+    """The two native backends describe the same orbit: within a few km of
+    each other near epoch (J2 lacks periodics, ~ km-scale), diverging
+    slowly after."""
+    from pydsproutines_tpu.estimation.satellites import SGP4Propagator
+    tle = parse_tle(ISS_L1, ISS_L2)
+    sg = SGP4Propagator(tle, WGS72)
+    j2 = J2Propagator(tle, WGS72)
+    t = np.array([0.0, 10.0, 30.0])
+    r_s, _ = sg.teme_posvel_tsince(t)
+    r_j, _ = j2.teme_posvel(tle.epoch_unix + t * 60.0)
+    err = np.linalg.norm(r_s - r_j, axis=1)
+    assert err.max() < 30.0                           # same orbit
+    assert err.max() > 1e-3                           # but not same model
+
+
+def test_sgp4_deep_space_raises():
+    from pydsproutines_tpu.estimation.satellites import (DeepSpaceTLE,
+                                                         SGP4Propagator)
+    with pytest.raises(DeepSpaceTLE):
+        SGP4Propagator(parse_tle(K7_L1, K7_L2), WGS72)
