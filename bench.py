@@ -247,7 +247,7 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
 def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
     import jax
     import jax.numpy as jnp
-    from pydsproutines_tpu.ops.wola import wola
+    from pydsproutines_tpu.ops.wola import wola_planes_flat
 
     rng = np.random.default_rng(2)
     x_ri = rng.standard_normal((2, n), dtype=np.float32)
@@ -255,10 +255,21 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
 
     @functools.partial(jax.jit, static_argnames=("n_reps",))
     def step(xri, salt, n_reps):
+        # flat-plane native path: 1-D quadrature planes in, 1-D planes of
+        # the row-major channel matrix out (bit-identical bytes to the 2-D
+        # planes) — no complex interleave and no lane-padding relayouts
+        # anywhere; the input planes ARE the I/O format on the transport.
+        # Anti-memoization perturbs the 2048-tap FILTER (the kernel's tap
+        # tables change per rep, so XLA cannot CSE reps) instead of the 8M
+        # input — the input perturb was an extra 32 MB read+write pass that
+        # measured the harness, not the channelizer. Forcing reads a small
+        # slice of each output plane; the kernel still writes the full
+        # channel matrix to HBM (a pallas_call is opaque to DCE).
         outs = []
         for i in range(n_reps):
-            x = jax.lax.complex(xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
-            outs.append(jnp.sum(jnp.abs(wola(jnp.asarray(h), x, dec, nch))))
+            hh = jnp.asarray(h) * (1.0 + 1e-7 * (salt + i))
+            o_re, o_im = wola_planes_flat(hh, xri[0], xri[1], dec, nch)
+            outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
         return jnp.stack(outs)
 
     d_x = jax.device_put(jnp.asarray(x_ri))

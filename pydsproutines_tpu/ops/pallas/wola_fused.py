@@ -151,12 +151,19 @@ def _kernel(xre_hbm, xim_hbm, t3e, t3o, ww, out, scratch, sems, *, kb: int,
     lane = jax.lax.broadcasted_iota(jnp.int32, (kb + H + 8, 128), 1)
 
     def fold(plane):
+        """Zero-waste aligned fold: the (r, q) loop runs nq = H/8 full
+        q-groups — exactly the taps u in [1, H] (even) / [1, H-1] (odd; one
+        zero slot at (r=0, q=0)) — and the u == 0 taps are one H-aligned
+        extra FMA pair (table row 8*nq). The previous uniform
+        nq = (H+8)/8 grouping burned 48 FMA passes for 33 valid taps at
+        B = 32 (measured 0.466 vs 0.370 ms/8M,
+        benchmarks/exp_wola_pair_anatomy.py)."""
         xt = scratch[slot, plane]                    # (kb+H+8, 128)
         # odd-parity companion: yt[j, c] = xq[2j-1, c], yt[j, 64+c] = xq[2j, c]
         zt = pltpu.roll(xt, 64, 1)
         zprev = jnp.concatenate([zt[:1, :], zt[:-1, :]], axis=0)
         yt = jnp.where(lane < 64, zprev, zt)
-        acc = jnp.zeros((kb, 128), jnp.float32)
+        acc = xt[H: H + kb, :] * t3e[8 * nq] + yt[H: H + kb, :] * t3o[8 * nq]
         for r in range(8):
             u = xt[0: kb + 8, :] * t3e[r * nq] + yt[0: kb + 8, :] * t3o[r * nq]
             for q in range(1, nq):
@@ -175,9 +182,14 @@ def _kernel(xre_hbm, xim_hbm, t3e, t3o, ww, out, scratch, sems, *, kb: int,
 
 
 def _fold_tables(f_tap, n: int, B: int):
-    """Pair-layout aligned-fold tap tables t3e/t3o: (8*nq, 128) with
-    t3e[r*nq+q] = Tec[H - 8q - r] (even taps s = 2u), t3o likewise for odd
-    taps s = 2u+1 read through the yt companion tile."""
+    """Pair-layout aligned-fold tap tables t3e/t3o: (8*nq + 1, 128).
+
+    Rows r*nq + q (q in [0, nq), nq = H/8) hold tap sub-index
+    u = H - 8q - r in [1, H] — zero waste: every (r, q) slot is a valid
+    tap except odd (r=0, q=0) — and the final row 8*nq holds the u == 0
+    taps, applied by the kernel as one H-aligned extra FMA pair.
+    t3e covers even taps s = 2u, t3o odd taps s = 2u + 1 read through the
+    yt companion tile."""
     taps = f_tap.shape[-1]
     h = jnp.real(f_tap).astype(jnp.float32)
     # base table T[s, c]: g[k, c] = sum_s T[s, c] * xq[k - s, c] with
@@ -194,11 +206,12 @@ def _fold_tables(f_tap, n: int, B: int):
     T = jnp.where(jnp.asarray(valid), h[jnp.asarray(tap_idx)], 0.0)
 
     H = B // 2
-    nq = (H + 8) // 8
-    # even taps: u in [0, H]; odd taps: u in [0, H-1]
+    nq = H // 8                                      # H % 8 == 0 (B % 16)
     # u_r[t'] = sum_q t3[r*nq+q] * tile[t' + 8q]; acc[t] = sum_r u_r[t + r]
-    # reads tile row H + t - u  =>  tap sub-index u = H - 8q - r
+    # reads tile row H + t - u  =>  tap sub-index u = H - 8q - r, plus one
+    # H-aligned extra row for u = 0
     u_i = H - 8 * np.tile(np.arange(nq), 8) - np.repeat(np.arange(8), nq)
+    u_i = np.concatenate([u_i, [0]])
     ve = (u_i >= 0) & (u_i <= H)                     # even taps s = 2u
     vo = (u_i >= 0) & (u_i <= H - 1)                 # odd taps s = 2u + 1
     se = np.clip(2 * u_i, 0, B)
@@ -211,18 +224,7 @@ def _fold_tables(f_tap, n: int, B: int):
     return t3e, t3o, H, nq
 
 
-@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
-def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
-                       dec: int, n: int,
-                       interpret: bool = False) -> tuple:
-    """Fused-channelizer core: ``re``/``im`` are (rows, n) float32 planes of
-    xq = x.reshape(rows, n); returns (out_re, out_im) planes, each (rows, n)
-    float32 (identical numbers to ops.wola.wola()). Keeping the planes as
-    separate operands lets XLA feed pure reshape views straight into the
-    kernel — no stacked intermediate is ever materialized."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _check_geometry(dec: int, n: int):
     if n != dec or n != 64:
         raise ValueError(
             f"wola_fused supports only the critically-sampled n == dec == 64 "
@@ -230,24 +232,18 @@ def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
             f"its banded-matmul path handles every geometry, and the "
             f"dispatcher (ops/wola.py) routes to this kernel automatically "
             f"when viable.")
-    taps = f_tap.shape[-1]
-    B = taps // n
-    rows = re.shape[0]
+
+
+def _run_fused(f_tap, pre, pim, n: int, B: int, nsteps: int, kb: int,
+               interpret: bool):
+    """Invoke the fused kernel on prepared (nsteps*kb, 2n) pair planes;
+    returns the raw (2, nsteps, kb, 2n) output."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     t3e, t3o, H, nq = _fold_tables(f_tap, n, B)
     ww = jnp.asarray(_idft_pair_block(n))            # (256, 256)
-
-    kb = _pick_kb2(n, B)
-    rows2 = -(-rows // 2)
-    nsteps = -(-rows2 // kb)
-    pad = nsteps * kb * 2 - rows
-
-    def prep(p):
-        p = p.astype(jnp.float32)
-        if pad:
-            p = jnp.pad(p, ((0, pad), (0, 0)))
-        return p.reshape(nsteps * kb, 2 * n)         # pair-row view (free)
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, kb=kb, H=H, nq=nq, nsteps=nsteps),
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -268,8 +264,70 @@ def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
             transcendentals=0,
             bytes_accessed=4 * 4 * nsteps * kb * 2 * n),
         interpret=interpret,
-    )(prep(re), prep(im), t3e, t3o, ww)
+    )(pre, pim, t3e, t3o, ww)
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
+def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
+                       dec: int, n: int,
+                       interpret: bool = False) -> tuple:
+    """Fused-channelizer core: ``re``/``im`` are (rows, n) float32 planes of
+    xq = x.reshape(rows, n); returns (out_re, out_im) planes, each (rows, n)
+    float32 (identical numbers to ops.wola.wola()). Keeping the planes as
+    separate operands lets XLA feed pure reshape views straight into the
+    kernel — no stacked intermediate is ever materialized. NOTE: on TPU a
+    (rows, 64) array is lane-padded to 128, so this entry still pays a
+    relayout each way (~0.4 ms/8M total); hot paths should use
+    wola_fused_planes_flat, whose flat-plane I/O is physically identical to
+    the kernel's pair-row tiling (zero-cost prologue AND epilogue)."""
+    _check_geometry(dec, n)
+    B = f_tap.shape[-1] // n
+    rows = re.shape[0]
+    kb = _pick_kb2(n, B)
+    rows2 = -(-rows // 2)
+    nsteps = -(-rows2 // kb)
+    pad = nsteps * kb * 2 - rows
+
+    def prep(p):
+        p = p.astype(jnp.float32)
+        if pad:
+            p = jnp.pad(p, ((0, pad), (0, 0)))
+        return p.reshape(nsteps * kb, 2 * n)         # pair-row view
+
+    out = _run_fused(f_tap, prep(re), prep(im), n, B, nsteps, kb, interpret)
     o = out.reshape(2, nsteps * kb * 2, n)[:, :rows]
+    return o[0], o[1]
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
+def wola_fused_planes_flat(f_tap: jnp.ndarray, re: jnp.ndarray,
+                           im: jnp.ndarray, dec: int, n: int,
+                           interpret: bool = False) -> tuple:
+    """Flat-plane fused channelizer: ``re``/``im`` are 1-D float32 planes of
+    the input samples; returns 1-D planes holding the row-major (rows, n)
+    channel matrix (bit-identical bytes to wola_fused_planes2's outputs).
+
+    This is the zero-relayout entry: a flat length-L f32 array is physically
+    the (L/128, 128) pair-row tiling the kernel DMAs, and the kernel's
+    output reshapes back to flat for free — measured ~0.4 ms/8M faster than
+    the (rows, 64) plane surface on v5e, whose 64-lane minor dimension is
+    padded and costs a relayout in each direction."""
+    _check_geometry(dec, n)
+    B = f_tap.shape[-1] // n
+    rows = re.shape[-1] // dec
+    kb = _pick_kb2(n, B)
+    rows2 = -(-rows // 2)
+    nsteps = -(-rows2 // kb)
+    pad_el = nsteps * kb * 2 * n - rows * n
+
+    def prep(p):
+        p = p[: rows * n].astype(jnp.float32)
+        if pad_el:
+            p = jnp.pad(p, (0, pad_el))
+        return p.reshape(nsteps * kb, 2 * n)         # free: same bytes
+
+    out = _run_fused(f_tap, prep(re), prep(im), n, B, nsteps, kb, interpret)
+    o = out.reshape(2, nsteps * kb * 2 * n)[:, : rows * n]
     return o[0], o[1]
 
 

@@ -119,6 +119,70 @@ def wola(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int | None = None,
     return out.astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("dec", "n"), inline=True)
+def wola_planes(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
+                dec: int, n: int | None = None, row_offset=0):
+    """Quadrature-plane WOLA channelize: float32 planes in, planes out.
+
+    Identical numbers to ``wola(f_tap, re + 1j*im, ...)`` but the complex
+    array never materializes: the fused Pallas kernel consumes and produces
+    (rows, n) float32 planes directly (pure reshape views), so the
+    plane<->complex interleave relayouts — a measured ~0.4 ms/8M on v5e,
+    ~40%% of the whole channelize — disappear. This is the TPU-native I/O
+    layout (the axon transport cannot transfer complex arrays at all);
+    ``wola`` remains the drop-in complex-API surface
+    (reference filterRoutines.py:578).
+
+    Returns ``(out_re, out_im)``, each (len(re)//dec, n) float32.
+    """
+    if n is None:
+        n = dec
+    rows = re.shape[-1] // dec
+    if n == dec:
+        from pydsproutines_tpu.ops.pallas.wola_fused import (
+            wola_fused_planes2, wola_fused_viable)
+        if (jax.devices()[0].platform == "tpu"
+                and wola_fused_viable(n, dec, f_tap.shape[-1], rows,
+                                      jnp.complex64)):
+            xr = re[: rows * n].reshape(rows, n).astype(jnp.float32)
+            xi = im[: rows * n].reshape(rows, n).astype(jnp.float32)
+            return wola_fused_planes2(f_tap, xr, xi, dec, n)
+    out = wola(f_tap, jax.lax.complex(re.astype(jnp.float32),
+                                      im.astype(jnp.float32)),
+               dec, n, row_offset=row_offset)
+    return jnp.real(out), jnp.imag(out)
+
+
+@functools.partial(jax.jit, static_argnames=("dec", "n"), inline=True)
+def wola_planes_flat(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
+                     dec: int, n: int | None = None, row_offset=0):
+    """Flat-plane WOLA channelize: the zero-relayout TPU hot path.
+
+    ``re``/``im`` are 1-D float32 quadrature planes of the input samples;
+    returns 1-D planes holding the row-major (rows, n) channel matrix —
+    bit-identical bytes to ``wola_planes``'s 2-D outputs, and exactly what
+    a host consumer sees after ``np.asarray(...).reshape(rows, n)``.
+
+    Why flat: a flat f32 array IS the kernel's (len/128, 128) pair-row
+    tiling physically, while a (rows, 64) plane is lane-padded to 128 on
+    TPU and costs a relayout in each direction (measured ~0.4 ms/8M on
+    v5e — half the kernel's own runtime). See
+    ops/pallas/wola_fused.wola_fused_planes_flat.
+    """
+    if n is None:
+        n = dec
+    rows = re.shape[-1] // dec
+    if n == dec:
+        from pydsproutines_tpu.ops.pallas.wola_fused import (
+            wola_fused_planes_flat, wola_fused_viable)
+        if (jax.devices()[0].platform == "tpu"
+                and wola_fused_viable(n, dec, f_tap.shape[-1], rows,
+                                      jnp.complex64)):
+            return wola_fused_planes_flat(f_tap, re, im, dec, n)
+    o_re, o_im = wola_planes(f_tap, re, im, dec, n, row_offset=row_offset)
+    return o_re.reshape(-1), o_im.reshape(-1)
+
+
 def _wola_fold_matmul(f_tap, x, n, nprime_pts, kblk: int = 128):
     """Polyphase WOLA fold (N == Dec) as a per-channel banded matmul on the
     natural xq = x.reshape(rows, N) layout.

@@ -116,3 +116,64 @@ def test_wola_fused_viability_gate():
     assert not wola_fused_viable(64, 64, 2048, 131072, np.complex128)
     assert not wola_fused_viable(64, 64, 64 * 4, 131072, np.complex64)  # B%8
     assert not wola_fused_viable(64, 64, 2048, 100, np.complex64)  # tiny
+
+
+def test_wola_planes_matches_complex_api(rng):
+    """wola_planes (quadrature-plane I/O) must equal wola on the complex
+    array, on both supported geometries (fallback route on CPU; the fused
+    route's parity is covered by test_wola_fused_kernel_parity)."""
+    from pydsproutines_tpu.ops.wola import wola, wola_planes
+
+    h = rng.standard_normal(512).astype(np.float32)
+    x = (rng.standard_normal(64 * 300)
+         + 1j * rng.standard_normal(64 * 300)).astype(np.complex64)
+    for dec, n in ((64, 64), (32, 64)):
+        ref = np.asarray(wola(jnp.asarray(h), jnp.asarray(x), dec, n))
+        o_re, o_im = wola_planes(jnp.asarray(h),
+                                 jnp.asarray(x.real.astype(np.float32)),
+                                 jnp.asarray(x.imag.astype(np.float32)),
+                                 dec, n)
+        got = np.asarray(o_re) + 1j * np.asarray(o_im)
+        assert got.shape == ref.shape
+        assert np.max(np.abs(got - ref)) < 1e-9
+
+
+def test_wola_planes_flat_matches(rng):
+    """Flat-plane surface returns the row-major channel matrix bytes:
+    CPU fallback here; the fused flat kernel in interpret mode below."""
+    from pydsproutines_tpu.ops.wola import wola, wola_planes_flat
+
+    h = rng.standard_normal(512).astype(np.float32)
+    x = (rng.standard_normal(64 * 300)
+         + 1j * rng.standard_normal(64 * 300)).astype(np.complex64)
+    ref = np.asarray(wola(jnp.asarray(h), jnp.asarray(x), 64, 64))
+    f_re, f_im = wola_planes_flat(jnp.asarray(h),
+                                  jnp.asarray(x.real.astype(np.float32)),
+                                  jnp.asarray(x.imag.astype(np.float32)),
+                                  64, 64)
+    got = (np.asarray(f_re) + 1j * np.asarray(f_im)).reshape(ref.shape)
+    assert np.max(np.abs(got - ref)) < 1e-9
+
+
+def test_wola_fused_flat_kernel_parity(rng):
+    """Fused flat-plane kernel (interpret mode) == 2-D plane kernel bytes,
+    across tail shapes incl. odd rows (pair padding) and nsteps == 1."""
+    from pydsproutines_tpu.ops.pallas.wola_fused import (
+        wola_fused_planes2, wola_fused_planes_flat)
+
+    nch = 64
+    h = rng.standard_normal(2048).astype(np.float32)
+    for rows in (600, 2048, 4099):
+        n = nch * rows
+        re = rng.standard_normal(n).astype(np.float32)
+        im = rng.standard_normal(n).astype(np.float32)
+        o2_re, o2_im = wola_fused_planes2(
+            jnp.asarray(h), jnp.asarray(re.reshape(rows, nch)),
+            jnp.asarray(im.reshape(rows, nch)), nch, nch, interpret=True)
+        f_re, f_im = wola_fused_planes_flat(
+            jnp.asarray(h), jnp.asarray(re), jnp.asarray(im), nch, nch,
+            interpret=True)
+        assert np.array_equal(np.asarray(f_re),
+                              np.asarray(o2_re).reshape(-1)), rows
+        assert np.array_equal(np.asarray(f_im),
+                              np.asarray(o2_im).reshape(-1)), rows
