@@ -202,7 +202,7 @@ def bench_fft_xcorr(n, nshifts, batch, r_hi=R_HI):
 def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
     import jax
     import jax.numpy as jnp
-    from pydsproutines_tpu.ops.filters import fir_upfirdn
+    from pydsproutines_tpu.ops.filters import fir_upfirdn_planes_flat
 
     rng = np.random.default_rng(1)
     x_ri = rng.standard_normal((2, n), dtype=np.float32)
@@ -211,16 +211,18 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
 
     @functools.partial(jax.jit, static_argnames=("n_reps",))
     def step(xri, salt, n_reps):
+        # flat-plane fused chain (combined-taps single memory pass;
+        # accuracy-equivalent to lfilter_fir + upfirdn — see
+        # benchmarks/exp_fir_breakdown.py). Anti-memoization perturbs the
+        # 128-tap FIR (the combined tap matrix changes per rep) instead of
+        # paying an extra 32 MB pass over the input; forcing reads a small
+        # slice of each output plane (the kernel still writes all of it).
         outs = []
         for i in range(n_reps):
-            x = jax.lax.complex(
-                xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1])
-            # the shipped fused chain op (combined-taps single memory pass;
-            # accuracy-equivalent to lfilter_fir + upfirdn — see
-            # benchmarks/exp_fir_breakdown.py)
-            z = fir_upfirdn(jnp.asarray(h_fir), jnp.asarray(h_rs), x,
-                            up, down)
-            outs.append(jnp.sum(jnp.abs(z)))
+            hf = jnp.asarray(h_fir) * (1.0 + 1e-7 * (salt + i))
+            o_re, o_im = fir_upfirdn_planes_flat(
+                hf, jnp.asarray(h_rs), xri[0], xri[1], up, down)
+            outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
         return jnp.stack(outs)
 
     d_x = jax.device_put(jnp.asarray(x_ri))

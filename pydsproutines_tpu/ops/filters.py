@@ -159,7 +159,7 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
     S = down // g                     # input samples per phase period
     T = taps_r.shape[-1]
     Lh = -(-T // up)                  # taps per polyphase branch
-    hpad = jnp.zeros(Lh * up, taps_r.dtype).at[:T].set(taps_r)
+    hpad = jnp.pad(taps_r, (0, Lh * up - T))   # pad: cheap on traced taps
     Hp = hpad.reshape(Lh, up).T       # Hp[p, l] = h[p + l*up]
 
     c = np.arange(P)
@@ -303,14 +303,45 @@ def fir_upfirdn(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray, x: jnp.ndarray,
                               jnp.complexfloating)):
         # rare complex-taps case: compose the two ops directly
         return upfirdn(rs_taps, lfilter_fir(fir_taps, x), up, down)
-    h_up = jnp.zeros(t1 * up - (up - 1),
-                     jnp.asarray(fir_taps).dtype).at[::up].set(fir_taps)
+    ft = jnp.asarray(fir_taps)
+    h_up = jnp.concatenate(
+        [ft[:, None], jnp.zeros((t1, up - 1), ft.dtype)],
+        axis=1).reshape(-1)[: t1 * up - (up - 1)]
     # tap combination must be full f32: TPU conv defaults to bf16 passes
     h_comb = jnp.convolve(h_up, jnp.asarray(rs_taps),
                           precision=jax.lax.Precision.HIGHEST)
     n_out = get_upfirdn_size(x.shape[-1], t2, up, down)  # chain-equivalent
     full = upfirdn(h_comb, x, up, down)
     return full[..., :n_out]
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
+                            re: jnp.ndarray, im: jnp.ndarray,
+                            up: int, down: int):
+    """Flat-plane fused FIR + resample chain: the zero-interleave TPU hot
+    path (same numbers as ``fir_upfirdn`` on ``re + 1j*im``).
+
+    ``re``/``im`` are 1-D float32 quadrature planes; returns 1-D output
+    planes of the chain (length = the two-op chain's output). The complex
+    array never materializes, and the kernel computes ONLY the chain-length
+    output (``fir_upfirdn`` computes the full-conv tail and slices it off).
+    Real taps only (the production chain; complex taps take the composed
+    ops in ``fir_upfirdn``).
+    """
+    t2 = rs_taps.shape[-1]
+    t1 = fir_taps.shape[-1]
+    ft = jnp.asarray(fir_taps)
+    h_up = jnp.concatenate(
+        [ft[:, None], jnp.zeros((t1, up - 1), ft.dtype)],
+        axis=1).reshape(-1)[: t1 * up - (up - 1)]
+    h_comb = jnp.convolve(h_up, jnp.asarray(rs_taps),
+                          precision=jax.lax.Precision.HIGHEST)
+    n_out = get_upfirdn_size(re.shape[-1], t2, up, down)
+    planes = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)])
+    y = _upfirdn_planes_dispatch(planes, h_comb.astype(jnp.float32),
+                                 up, down, n_out)
+    return y[0], y[1]
 
 
 class StreamUpfirdn:

@@ -63,7 +63,9 @@ def _band_matrix(taps_r: np.ndarray | jnp.ndarray, up: int, down: int):
     P, S, cols, R = upfirdn_geometry(up, down)
     T = taps_r.shape[-1]
     Lh = -(-T // up)
-    hpad = jnp.zeros(Lh * up, taps_r.dtype).at[:T].set(taps_r)
+    # pad, not .at[].set: a scatter on TRACED taps (perturbed-tap reps,
+    # nested jits) costs ~1 ms/call at runtime; pad is free either way
+    hpad = jnp.pad(taps_r, (0, Lh * up - T))
     Hp = hpad.reshape(Lh, up).T               # Hp[p, l] = h[p + l*up]
     c = np.arange(P)
     p_c = (c * down) % up
@@ -159,8 +161,7 @@ def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
     for j in range(r):
         wj = min(R, W - j * R)
         wjp = -(-wj // 128) * 128
-        kp = jnp.zeros((wjp, cols), jnp.float32)
-        kp = kp.at[:wj].set(Kj[j * R: j * R + wj])
+        kp = jnp.pad(Kj[j * R: j * R + wj], ((0, wjp - wj), (0, 0)))
         widths.append(wjp)
         kparts.append(kp)
 

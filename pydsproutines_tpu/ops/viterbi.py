@@ -49,10 +49,15 @@ class ViterbiDemodulator:
     """
 
     def __init__(self, alphabet, pretransitions, pulses, omegas, up: int,
-                 allowed_start_idx=np.array([0])):
+                 allowed_start_idx=np.array([0]),
+                 survivor_metric: str = "branch"):
         # trellis constants stay HOST numpy and are embedded as program
         # constants in the per-instance jitted closure (the axon transport
         # cannot transfer complex arrays host<->device)
+        if survivor_metric not in ("branch", "path"):
+            raise ValueError("survivor_metric must be 'branch' (reference "
+                             "semantics) or 'path' (textbook ACS)")
+        self.survivor_metric = survivor_metric
         self.alphabet = np.asarray(alphabet, dtype=np.complex64)
         self.pretransitions = np.asarray(pretransitions, dtype=np.int32)
         if self.alphabet.shape[0] != self.pretransitions.shape[0]:
@@ -82,12 +87,15 @@ class ViterbiDemodulator:
             up, pulselen = self.up, self.pulselen
             k_syms = self.pulse_len_in_syms
 
+            survivor = self.survivor_metric
+
             def _impl(y):
                 paths, metrics = _viterbi_run(
                     y.astype(jnp.complex64), jnp.asarray(alphabet),
                     jnp.asarray(pretransitions), jnp.asarray(pulses),
                     jnp.asarray(omegas), jnp.asarray(a_mask), up=up,
-                    pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
+                    pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
+                    survivor_metric=survivor)
                 best = jnp.argmin(metrics)
                 vals = jnp.asarray(alphabet)[paths]
                 return vals[best], metrics, vals
@@ -110,19 +118,119 @@ def _viterbi_fast_viable(a: int, k_syms: int, pathlen: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("up", "pulselen", "k_syms", "pathlen"))
+                   static_argnames=("up", "pulselen", "k_syms", "pathlen",
+                                    "survivor_metric"))
 def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
-                 up, pulselen, k_syms, pathlen):
-    """Dispatcher. The general scan implementation is the default: on v5e
-    the table-precompute path measured 2x SLOWER at the small code spaces it
-    was built for (3 codes, 64x512 CP2FSK bench: 8.8 ms vs 4.4 ms scan,
-    benchmarks/exp_viterbi_ab.py) — the (pathlen, codes) gather/backtrack
-    overhead exceeds the branch-metric recompute it saves. The table path
-    (_viterbi_run_fast, exact-path parity-tested) remains available for
-    callers with expensive pulse synthesis."""
+                 up, pulselen, k_syms, pathlen,
+                 survivor_metric: str = "branch"):
+    """Dispatcher.
+
+    * k_syms == 1 (memoryless pulses — the CPFSK norm): the branch metric
+      depends only on (step, state), never on the predecessor, so ALL
+      branch metrics precompute in one vectorized pass and the sequential
+      part is a tiny gather/add ACS (_viterbi_run_memoryless) — ~10x less
+      serial work per symbol than the general scan.
+    * otherwise: the general scan. The round-3 table path
+      (_viterbi_run_fast, parity-kept) measured 2x slower on v5e
+      (benchmarks/exp_viterbi_ab.py) and stays non-default.
+
+    ``survivor_metric``: "branch" (default) reproduces the reference's
+    survivor selection — argmin over the BRANCH metric only
+    (/root/reference/viterbiDemodClasses.py:243). For memoryless pulses
+    that selection is degenerate (branch metrics are identical across
+    predecessors, ties always break to transition 0 — proved in round 3).
+    "path" is the deliberate semantics improvement: survivors minimize
+    path metric + branch metric, the textbook Viterbi recursion.
+    """
+    if k_syms == 1:
+        return _viterbi_run_memoryless(
+            y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
+            pulselen=pulselen, pathlen=pathlen,
+            survivor_metric=survivor_metric)
     return _viterbi_run_scan(
         y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
-        pulselen=pulselen, k_syms=k_syms, pathlen=pathlen)
+        pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
+        survivor_metric=survivor_metric)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("up", "pulselen", "pathlen",
+                                    "survivor_metric"))
+def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
+                            start_mask, *, up, pulselen, pathlen,
+                            survivor_metric: str = "branch"):
+    """Memoryless-pulse (k_syms == 1) trellis: precomputed branch tables +
+    a backpointer ACS scan + backtrack.
+
+    With pulselen == up the synthesized segment for state p is just
+    alphabet[p] * pulse (no survivor-window dependence), so bm[n, p]
+    precomputes for every step in one pass:
+
+        s[n, p, t] = alphabet[p] * sum_i pulse_i[t] e^{-j omega_i (n up+t)}
+        bm[n, p]   = || valid(y[n up + t]) - s[n, p, t] ||^2
+
+    The scan body is then 5 tiny ops on (A,) vectors emitting one (A,)
+    backpointer row — no synth, no (A, pathlen) path-matrix rewrite (the
+    general scan's per-step path copy alone is A*pathlen elements/step).
+    Semantics identical to _viterbi_run_scan for k_syms == 1, including
+    dead-predecessor inf masking and the reference's tie-to-first-
+    transition survivor choice."""
+    A = alphabet.shape[0]
+    ylen = y.shape[0]
+    inf = jnp.float32(jnp.inf)
+    ypad = jnp.concatenate([y, jnp.zeros(pulselen + up, dtype=y.dtype)])
+
+    # ---- branch tables, one pass --------------------------------------------
+    n_all = jnp.arange(pathlen, dtype=jnp.float32)
+    t_rel = jnp.arange(pulselen, dtype=jnp.float32)
+    phase = jnp.exp(-1j * omegas[None, :, None]
+                    * (n_all[:, None, None] * up + t_rel[None, None, :]))
+    base = jnp.einsum("it,nit->nt", pulses.astype(jnp.complex64),
+                      phase.astype(jnp.complex64))         # (pathlen, P)
+    s = alphabet[None, :, None] * base[:, None, :]          # (pathlen, A, P)
+    idx = (jnp.arange(pathlen)[:, None] * up
+           + jnp.arange(pulselen)[None, :])
+    ywin = ypad[idx]                                        # (pathlen, P)
+    valid = idx < ylen
+    d = jnp.where(valid[:, None, :], ywin[:, None, :] - s, 0.0)
+    dsq = d.real * d.real + d.imag * d.imag
+    bm_full = jnp.sum(dsq, axis=-1)                         # (pathlen, A)
+    bm_short = jnp.sum(dsq[..., :up], axis=-1)
+
+    metrics0 = jnp.where(start_mask, bm_short[0], inf)
+    pret = pretransitions
+
+    def step(metrics, n):
+        pre = metrics[pret]                                 # (A, T)
+        pre_inf = jnp.isinf(pre)
+        if survivor_metric == "path":
+            # textbook ACS: minimize path + branch (branch is constant in
+            # t here, so this is argmin over predecessor path metrics)
+            cand = jnp.where(pre_inf, inf, pre + bm_full[n][:, None])
+        else:
+            # reference semantics: branch metric only — constant across t,
+            # so argmin returns the FIRST alive transition (ties to 0)
+            cand = jnp.where(pre_inf, inf, bm_full[n][:, None])
+        best_t = jnp.argmin(cand, axis=1)
+        best_q = jnp.take_along_axis(pret, best_t[:, None], axis=1)[:, 0]
+        all_inf = jnp.all(pre_inf, axis=1)
+        new_metrics = jnp.where(all_inf, inf, metrics[best_q] + bm_short[n])
+        return new_metrics, best_q
+
+    metrics, backptr = jax.lax.scan(
+        step, metrics0, jnp.arange(1, pathlen, dtype=jnp.int32), unroll=8)
+
+    # ---- backtrack every final state's survivor path -------------------------
+    def trace(s, bp):
+        return bp[s], s
+
+    def trace_one(end):
+        first, rest = jax.lax.scan(trace, end, backptr, reverse=True,
+                                   unroll=8)
+        return jnp.concatenate([first[None], rest])
+
+    paths = jax.vmap(trace_one)(jnp.arange(A, dtype=jnp.int32))
+    return paths, metrics
 
 
 @functools.partial(jax.jit,
@@ -250,9 +358,11 @@ def _viterbi_run_fast(y, alphabet, pretransitions, pulses, omegas,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("up", "pulselen", "k_syms", "pathlen"))
+                   static_argnames=("up", "pulselen", "k_syms", "pathlen",
+                                    "survivor_metric"))
 def _viterbi_run_scan(y, alphabet, pretransitions, pulses, omegas,
-                      start_mask, *, up, pulselen, k_syms, pathlen):
+                      start_mask, *, up, pulselen, k_syms, pathlen,
+                      survivor_metric: str = "branch"):
     A = alphabet.shape[0]
     T = pretransitions.shape[1]
     L = pulses.shape[0]
@@ -321,7 +431,13 @@ def _viterbi_run_scan(y, alphabet, pretransitions, pulses, omegas,
         full = jnp.where(pre_inf, inf, full)
         short = jnp.where(pre_inf, inf, short)
 
-        best_t = jnp.argmin(full, axis=1)               # (A,)
+        if survivor_metric == "path":
+            # opt-in textbook ACS (VERDICT round-3: the reference's
+            # branch-only selection degenerates for memoryless pulses)
+            sel = metrics[pretransitions] + full
+        else:
+            sel = full
+        best_t = jnp.argmin(sel, axis=1)                # (A,)
         best_q = jnp.take_along_axis(pretransitions, best_t[:, None], axis=1)[:, 0]
         all_inf = jnp.all(jnp.isinf(full), axis=1)
         new_metrics = jnp.where(

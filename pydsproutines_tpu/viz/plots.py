@@ -305,3 +305,154 @@ def plot_trajectory_2d(r_x, r_xdot=None, fmt: str = "b.",
                   angles="xy", scale=1)
     ax.axis("equal")
     return fig, ax
+
+
+def close_all_figs():
+    """Close every open matplotlib figure (reference closeAllFigs,
+    plotRoutines.py:29)."""
+    _mpl().close("all")
+
+
+def plot_delta_funcs(x, h, color: str = "r", label=None, ax=None):
+    """Stem-style delta functions: vertical lines of height h[i] at x[i]
+    (reference pgPlotDeltaFuncs, plotRoutines.py:57)."""
+    plt = _mpl()
+    x = np.atleast_1d(_np(x))
+    h = np.broadcast_to(np.atleast_1d(_np(h)), x.shape)
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    ax.vlines(x, 0.0, h, colors=color, label=label)
+    if label:
+        ax.legend()
+    return fig, ax
+
+
+def plot_heatmap(data, x0: float = 0.0, y0: float = 0.0, xscale: float = 1.0,
+                 yscale: float = 1.0, ax=None, cmap: str = "viridis",
+                 colorbar: bool = True):
+    """Generic 2-D heatmap with axis scaling (reference plotHeatmap,
+    plotRoutines.py:174: rows map to y, columns to x, extent from
+    offsets/scales)."""
+    plt = _mpl()
+    data = _np(data)
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    extent = (x0, x0 + data.shape[1] * xscale,
+              y0, y0 + data.shape[0] * yscale)
+    im = ax.imshow(data, origin="lower", aspect="auto", extent=extent,
+                   cmap=cmap)
+    if colorbar:
+        fig.colorbar(im, ax=ax)
+    return fig, ax
+
+
+def plot_real_imag(x, fs: float = 1.0, label=None, ax=None):
+    """Real and imaginary parts on stacked subplots (reference plotRealImag,
+    plotRoutines.py:285). ``ax``: optional (ax_re, ax_im) pair."""
+    plt = _mpl()
+    x = _np(x)
+    t = np.arange(x.shape[-1]) / fs
+    if ax is None:
+        fig, (ax_re, ax_im) = plt.subplots(2, 1, sharex=True)
+    else:
+        ax_re, ax_im = ax
+        fig = ax_re.figure
+    ax_re.plot(t, x.real, label=label)
+    ax_im.plot(t, x.imag, label=label)
+    ax_re.set_ylabel("Re")
+    ax_im.set_ylabel("Im")
+    ax_im.set_xlabel("time (s)")
+    if label:
+        ax_re.legend()
+    return fig, (ax_re, ax_im)
+
+
+def plot_phasor_vs_time(x, fs: float = 1.0, ax=None):
+    """3-D phasor trace: (time, Re, Im) — the reference's
+    pgPlotPhasorVsTime (plotRoutines.py:238) as a matplotlib 3-D line."""
+    plt = _mpl()
+    x = _np(x)
+    t = np.arange(x.shape[-1]) / fs
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    else:
+        fig = ax.figure
+    ax.plot(t, x.real, x.imag)
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("Re")
+    ax.set_zlabel("Im")
+    return fig, ax
+
+
+def plot_angles(x, fs: float = 1.0, unwrap: bool = False, label=None,
+                ax=None):
+    """Phase angle against time (reference plotAngles,
+    plotRoutines.py:753)."""
+    plt = _mpl()
+    x = _np(x)
+    ang = np.angle(x)
+    if unwrap:
+        ang = np.unwrap(ang)
+    t = np.arange(x.shape[-1]) / fs
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    ax.plot(t, ang, label=label)
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("angle (rad)")
+    if label:
+        ax.legend()
+    return fig, ax
+
+
+def plot_possible_constellations(syms, m: int, ax=None):
+    """The m rotated constellations a PSK symbol stream could be (reference
+    plotPossibleConstellations, plotRoutines.py:676): one subplot per
+    rotation e^{j 2 pi r / m}."""
+    plt = _mpl()
+    syms = _np(syms)
+    if ax is None:
+        fig, axes = plt.subplots(1, m, sharey=True)
+    else:
+        axes = ax
+        fig = axes[0].figure
+    for r in range(m):
+        rot = syms * np.exp(1j * 2 * np.pi * r / m)
+        axes[r].plot(rot.real, rot.imag, ".")
+        axes[r].set_title(f"rot {r}")
+        axes[r].axis("equal")
+    return fig, axes
+
+
+def mpl_btn_toggle(plotted_lines, fig):
+    """Check-button visibility toggles for plotted lines (reference
+    mplBtnToggle, plotRoutines.py:830). Returns the CheckButtons widget
+    (keep a reference alive, as matplotlib requires)."""
+    from matplotlib.widgets import CheckButtons
+    lines = list(plotted_lines)
+    labels = [ln.get_label() for ln in lines]
+    fig.subplots_adjust(right=0.8)
+    rax = fig.add_axes([0.82, 0.4, 0.16, 0.05 + 0.05 * len(lines)])
+    check = CheckButtons(rax, labels, [ln.get_visible() for ln in lines])
+
+    def _toggle(label):
+        ln = lines[labels.index(label)]
+        ln.set_visible(not ln.get_visible())
+        fig.canvas.draw_idle()
+
+    check.on_clicked(_toggle)
+    return check
+
+
+def reverse_map_to_pixels(x, y, ax):
+    """Map data coordinates to display pixels for an axes (reference
+    reverseMapToPixels, plotRoutines.py:875). Returns (px, py) arrays."""
+    pts = np.column_stack([np.atleast_1d(_np(x)), np.atleast_1d(_np(y))])
+    out = ax.transData.transform(pts)
+    return out[:, 0], out[:, 1]

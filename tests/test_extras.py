@@ -396,3 +396,37 @@ def test_viz_breadth_renders_to_png(tmp_path):
     for f in ("grid", "heat", "surf", "freqz", "traj"):
         assert (tmp_path / f"{f}.png").stat().st_size > 1000
     plt.close("all")
+
+
+def test_round4_plot_breadth(rng, tmp_path):
+    """The 9 round-4 additions (generic heatmap, delta stems, real/imag,
+    3-D phasor, angles, rotated constellations, visibility toggles, pixel
+    mapping, close-all) render and save headlessly."""
+    from pydsproutines_tpu.viz.plots import (
+        close_all_figs, mpl_btn_toggle, plot_amp_time, plot_angles,
+        plot_delta_funcs, plot_heatmap, plot_phasor_vs_time,
+        plot_possible_constellations, plot_real_imag, reverse_map_to_pixels)
+
+    x = (rng.standard_normal(128)
+         + 1j * rng.standard_normal(128)).astype(np.complex64)
+    figs = []
+    figs.append(plot_delta_funcs([2, 7, 30], [1.0, -0.5, 2.0],
+                                 label="taps")[0])
+    figs.append(plot_heatmap(rng.standard_normal((12, 40)), x0=-20.0,
+                             xscale=0.5, y0=1.0, yscale=2.0)[0])
+    figs.append(plot_real_imag(x, fs=1e3, label="sig")[0])
+    figs.append(plot_phasor_vs_time(x, fs=1e3)[0])
+    figs.append(plot_angles(x, fs=1e3, unwrap=True, label="ph")[0])
+    figs.append(plot_possible_constellations(x, 4)[0])
+    fig, ax = plot_amp_time([np.abs(x)], [1.0], labels=["a"])
+    widget = mpl_btn_toggle(ax.get_lines(), fig)
+    assert widget is not None
+    px, py = reverse_map_to_pixels([10.0], [0.5], ax)
+    assert px.shape == (1,) and np.isfinite(px[0]) and np.isfinite(py[0])
+    figs.append(fig)
+    for i, f in enumerate(figs):
+        f.savefig(tmp_path / f"p{i}.png")
+        assert (tmp_path / f"p{i}.png").stat().st_size > 1000
+    close_all_figs()
+    import matplotlib.pyplot as plt
+    assert not plt.get_fignums()

@@ -229,3 +229,25 @@ def test_medfilt_pallas_kernel_exact(rng):
         got = np.asarray(medfilt_pallas(jnp.asarray(x), k, interpret=True))
         ref = sps.medfilt(x, k)
         assert np.array_equal(got, ref), (n, k)
+
+
+def test_fir_upfirdn_planes_flat_matches(rng):
+    """Flat-plane chain surface == fir_upfirdn on the complex array."""
+    from pydsproutines_tpu.ops.filters import (fir_upfirdn,
+                                               fir_upfirdn_planes_flat)
+    n = 4096
+    x = (rng.standard_normal(n)
+         + 1j * rng.standard_normal(n)).astype(np.complex64)
+    h1 = rng.standard_normal(32).astype(np.float32)
+    h2 = rng.standard_normal(19).astype(np.float32)
+    for up, down in ((5, 4), (3, 7), (1, 1)):
+        ref = np.asarray(fir_upfirdn(jnp.asarray(h1), jnp.asarray(h2),
+                                     jnp.asarray(x), up, down))
+        o_re, o_im = fir_upfirdn_planes_flat(
+            jnp.asarray(h1), jnp.asarray(h2),
+            jnp.asarray(x.real.astype(np.float32)),
+            jnp.asarray(x.imag.astype(np.float32)), up, down)
+        got = np.asarray(o_re) + 1j * np.asarray(o_im)
+        assert got.shape == ref.shape, (up, down)
+        scale = max(1.0, np.abs(ref).max())
+        assert np.max(np.abs(got - ref)) / scale < 1e-6, (up, down)

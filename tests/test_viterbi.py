@@ -159,3 +159,66 @@ def test_fast_table_path_matches_scan_path(rng):
     # scan path stores state indices in paths via .at[:, n]; fast path
     # reconstructs via backtrack — must be the same trellis decisions
     np.testing.assert_array_equal(np.asarray(pf), np.asarray(ps))
+
+
+def test_memoryless_path_matches_scan_path(rng):
+    """The k_syms==1 precomputed-table dispatch must reproduce the general
+    scan exactly (paths AND metrics), including dead start states and
+    multi-source frequency offsets."""
+    from pydsproutines_tpu.ops.viterbi import (_viterbi_run_memoryless,
+                                               _viterbi_run_scan)
+    up = 4
+    A = 4
+    alphabet = np.exp(1j * 2 * np.pi * np.arange(A) / A).astype(np.complex64)
+    pret = np.stack([np.roll(np.arange(A), 1),
+                     np.roll(np.arange(A), -1)], axis=1).astype(np.int32)
+    pulses = np.stack([np.hanning(up) + 0.1,
+                       0.3 * np.ones(up)]).astype(np.complex64)
+    omegas = np.array([0.0, 0.05], dtype=np.float32)
+    pathlen = 37
+    y = (rng.standard_normal(pathlen * up)
+         + 1j * rng.standard_normal(pathlen * up)).astype(np.complex64)
+    start = np.array([True, False, True, False])
+    for survivor in ("branch", "path"):
+        p1, m1 = _viterbi_run_memoryless(
+            jnp.asarray(y), jnp.asarray(alphabet), jnp.asarray(pret),
+            jnp.asarray(pulses), jnp.asarray(omegas), jnp.asarray(start),
+            up=up, pulselen=up, pathlen=pathlen, survivor_metric=survivor)
+        p2, m2 = _viterbi_run_scan(
+            jnp.asarray(y), jnp.asarray(alphabet), jnp.asarray(pret),
+            jnp.asarray(pulses), jnp.asarray(omegas), jnp.asarray(start),
+            up=up, pulselen=up, k_syms=1, pathlen=pathlen,
+            survivor_metric=survivor)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=2e-5, err_msg=survivor)
+        assert np.array_equal(np.asarray(p1), np.asarray(p2)), survivor
+
+
+def test_path_survivor_fixes_memoryless_degeneracy(rng):
+    """Round-3 finding: the reference's branch-only survivor selection
+    degenerates for memoryless pulses (ties always to transition 0, path
+    history collapses). The opt-in survivor_metric='path' variant must
+    recover a clean 2FSK symbol stream that the faithful default cannot."""
+    up = 8
+    alphabet = np.array([1.0, -1.0], dtype=np.complex64)
+    pret = np.array([[0, 1], [0, 1]], dtype=np.int32)
+    pulses = np.ones((1, up), dtype=np.complex64)
+    omegas = np.zeros(1, dtype=np.float32)
+    pathlen = 64
+    true_syms = rng.integers(0, 2, pathlen)
+    y = np.repeat(alphabet[true_syms], up).astype(np.complex64)
+
+    kw = dict(pretransitions=pret, pulses=pulses, omegas=omegas, up=up,
+              allowed_start_idx=np.array([0, 1]))
+    vd_path = ViterbiDemodulator(alphabet, survivor_metric="path", **kw)
+    best, metrics, _ = vd_path.run(jnp.asarray(y), pathlen)
+    decoded = (np.asarray(best).real < 0).astype(int)
+    assert np.array_equal(decoded, true_syms)
+    assert np.isclose(float(np.min(np.asarray(metrics))), 0.0, atol=1e-3)
+
+    vd_branch = ViterbiDemodulator(alphabet, survivor_metric="branch", **kw)
+    best_b, metrics_b, _ = vd_branch.run(jnp.asarray(y), pathlen)
+    # final metrics still reach ~0 (metric accumulation is unaffected), but
+    # the degenerate survivor history cannot follow the symbol sequence
+    decoded_b = (np.asarray(best_b).real < 0).astype(int)
+    assert not np.array_equal(decoded_b, true_syms)
