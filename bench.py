@@ -214,14 +214,16 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
         # flat-plane fused chain (combined-taps single memory pass;
         # accuracy-equivalent to lfilter_fir + upfirdn — see
         # benchmarks/exp_fir_breakdown.py). Anti-memoization perturbs the
-        # 128-tap FIR (the combined tap matrix changes per rep) instead of
-        # paying an extra 32 MB pass over the input; forcing reads a small
-        # slice of each output plane (the kernel still writes all of it).
+        # INPUT here (one 16 MB plane pass): tap perturbation would leave
+        # the (658, 640) banded tap matrix traced, whose gather-build runs
+        # ~ms-scale on TPU instead of const-folding at compile (measured
+        # 0.84 vs 2.7+ GS/s). Forcing reads a small slice of each output
+        # plane (the kernel still writes all of it).
         outs = []
         for i in range(n_reps):
-            hf = jnp.asarray(h_fir) * (1.0 + 1e-7 * (salt + i))
             o_re, o_im = fir_upfirdn_planes_flat(
-                hf, jnp.asarray(h_rs), xri[0], xri[1], up, down)
+                jnp.asarray(h_fir), jnp.asarray(h_rs),
+                xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1], up, down)
             outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
         return jnp.stack(outs)
 

@@ -38,6 +38,7 @@ def _kernel(seg_ref, out_ref, win_ref, *, c: int, k: int, half: int):
     u32 = jax.lax.bitcast_convert_type(seg, jnp.uint32)
     keys = jnp.where(i32 >= 0, u32 + jnp.uint32(0x80000000), ~u32)
     cw = keys.shape[1]
+    k8 = win_ref.shape[0]                              # k rounded up to 8
 
     # window scratch row j = seg rotated left by j (right rotation by
     # CW - j; pltpu.roll requires non-negative shifts), first C lanes valid
@@ -50,13 +51,24 @@ def _kernel(seg_ref, out_ref, win_ref, *, c: int, k: int, half: int):
         return 0
 
     jax.lax.fori_loop(0, k, build, 0)
-    win = win_ref[:k]                                  # (k, C) uint32
+    if k8 > k:
+        # alignment pad rows: MAX key, so (pad < cand) never counts in the
+        # MXU reduction below (strict less; cand <= 0xFFFFFFFF always)
+        win_ref[pl.ds(k, k8 - k), :] = jnp.full((k8 - k, c), 0xFFFFFFFF,
+                                                jnp.uint32)
+    win = win_ref[...]                                 # (k8, C) uint32
+    ones = jnp.ones((8, k8), jnp.float32)
 
     def bit_step(b, acc):
         shift = (jnp.uint32(31) - b.astype(jnp.uint32))
         cand = acc | (jnp.uint32(1) << shift)
-        cnt = jnp.sum((win < cand).astype(jnp.int32), axis=0,
-                      keepdims=True)
+        # count via a ones-matmul: the (k, C) -> (1, C) sum reduction rides
+        # the MXU instead of burning a VPU pass per element (1/3 of the
+        # loop's VPU work; counts <= k are exact in f32 accumulation)
+        ind = (win < cand).astype(jnp.float32)
+        cnt = jax.lax.dot_general(
+            ones, ind, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:1]
         return jnp.where(cnt <= half, cand, acc)
 
     acc = jax.lax.fori_loop(0, 32, bit_step,

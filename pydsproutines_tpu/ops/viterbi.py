@@ -155,10 +155,11 @@ def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("up", "pulselen", "pathlen",
-                                    "survivor_metric"))
+                                    "survivor_metric", "unroll"))
 def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
                             start_mask, *, up, pulselen, pathlen,
-                            survivor_metric: str = "branch"):
+                            survivor_metric: str = "branch",
+                            unroll: int = 8):
     """Memoryless-pulse (k_syms == 1) trellis: precomputed branch tables +
     a backpointer ACS scan + backtrack.
 
@@ -218,7 +219,8 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
         return new_metrics, best_q
 
     metrics, backptr = jax.lax.scan(
-        step, metrics0, jnp.arange(1, pathlen, dtype=jnp.int32), unroll=8)
+        step, metrics0, jnp.arange(1, pathlen, dtype=jnp.int32),
+        unroll=unroll)
 
     # ---- backtrack every final state's survivor path -------------------------
     def trace(s, bp):
@@ -226,7 +228,7 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
 
     def trace_one(end):
         first, rest = jax.lax.scan(trace, end, backptr, reverse=True,
-                                   unroll=8)
+                                   unroll=unroll)
         return jnp.concatenate([first[None], rest])
 
     paths = jax.vmap(trace_one)(jnp.arange(A, dtype=jnp.int32))
