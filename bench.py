@@ -435,29 +435,42 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
     rng = np.random.default_rng(5)
     y_ri = rng.standard_normal((2, B, L), dtype=np.float32)
 
-    @functools.partial(jax.jit, static_argnames=("n_reps",))
-    def step(yri, salt, n_reps):
-        def one(yrow):
-            paths, metrics = _viterbi_run(
-                yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
-                jnp.asarray(pulse), jnp.asarray(omegas),
-                jnp.asarray(start_mask), up=up, pulselen=up, k_syms=1,
-                pathlen=nsyms)
-            return metrics[jnp.argmin(metrics)]
+    pret_static = tuple(map(tuple, pretransitions.tolist()))
+    start_static = tuple(bool(v) for v in start_mask)
 
-        # scan over reps (constant program size under harness escalation)
-        def body(acc, i):
-            yb = jax.lax.complex(
-                yri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
-                yri[1])
-            return acc + jnp.sum(jax.vmap(one)(yb)), None
-        acc, _ = jax.lax.scan(
-            body, jnp.float32(0), jnp.arange(n_reps, dtype=jnp.float32))
-        return acc
+    def make_step(survivor):
+        @functools.partial(jax.jit, static_argnames=("n_reps",))
+        def step(yri, salt, n_reps):
+            def one(yrow):
+                # faithful 'branch' semantics: control flow is
+                # data-independent for memoryless pulses (round-3 proof),
+                # so the static tables collapse the trellis to gather+sum.
+                # 'path' is the non-degenerate textbook ACS — the real
+                # sequential-trellis measure, emitted as its own metric.
+                paths, metrics = _viterbi_run(
+                    yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
+                    jnp.asarray(pulse), jnp.asarray(omegas),
+                    jnp.asarray(start_mask), up=up, pulselen=up, k_syms=1,
+                    pathlen=nsyms, survivor_metric=survivor,
+                    pret_static=pret_static, start_static=start_static)
+                return metrics[jnp.argmin(metrics)]
+
+            # scan over reps (constant program size under harness escalation)
+            def body(acc, i):
+                yb = jax.lax.complex(
+                    yri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
+                    yri[1])
+                return acc + jnp.sum(jax.vmap(one)(yb)), None
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(n_reps, dtype=jnp.float32))
+            return acc
+        return step
 
     d_y = jax.device_put(jnp.asarray(y_ri))
-    dt = rep_differenced(step, d_y)
+    dt = rep_differenced(make_step("branch"), d_y)
     rate = B * nsyms / dt / 1e6  # Msymbols/s across the burst batch
+    dt_path = rep_differenced(make_step("path"), d_y)
+    rate_path = B * nsyms / dt_path / 1e6
 
     # CPU tier baseline: per-symbol numpy trellis on 2 bursts, scaled
     t0 = time.perf_counter()
@@ -471,7 +484,7 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
             tot = metrics[None, :] + bm
             metrics = tot.min(axis=1)
     cpu_rate = 2 * nsyms / (time.perf_counter() - t0) / 1e6
-    return rate, cpu_rate, dt
+    return rate, cpu_rate, dt, rate_path, dt_path
 
 
 def main():
@@ -521,8 +534,13 @@ def main():
         guard("demod", _dm)
     if only in (None, "viterbi"):
         def _vit():
-            rate, cpu, dt = bench_cp2fsk_viterbi()
+            rate, cpu, dt, rate_p, dt_p = bench_cp2fsk_viterbi()
             emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu, dt)
+            # non-degenerate textbook-ACS variant: the honest sequential-
+            # trellis number (the faithful metric above is control-flow
+            # degenerate for memoryless pulses — see ops/viterbi.py)
+            emit("cp2fsk_viterbi_path_64x512", rate_p, "Msymbols/s", cpu,
+                 dt_p)
         guard("viterbi", _vit)
 
 

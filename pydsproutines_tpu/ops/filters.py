@@ -221,10 +221,16 @@ def _upfirdn_poly_planes(planes: jnp.ndarray, taps_r: jnp.ndarray, up: int,
 
 
 def _upfirdn_planes_dispatch(planes: jnp.ndarray, taps_r: jnp.ndarray,
-                             up: int, down: int, n_out: int) -> jnp.ndarray:
+                             up: int, down: int, n_out: int,
+                             prec: str = "highest") -> jnp.ndarray:
     """Real-tap planes core: fused Pallas kernel on TPU (windows built in
     VMEM — no im2col HBM pass), XLA banded matmul elsewhere / for odd
-    shapes. Both compute the identical gp-block polyphase math."""
+    shapes. Both compute the identical gp-block polyphase math.
+
+    ``prec``: "highest" (f32, ~5e-7 rel — the scipy-parity default) or
+    "bf16x3" (explicit hi/lo bf16 splits, ~5e-6 rel, half the MXU passes —
+    the throughput chain's choice; Pallas path only, the XLA fallback
+    stays HIGHEST)."""
     if (planes.shape[0] <= 2 and jnp.float32 == planes.dtype
             and jax.devices()[0].platform == "tpu"):
         from pydsproutines_tpu.ops.pallas.upfirdn import (
@@ -232,7 +238,8 @@ def _upfirdn_planes_dispatch(planes: jnp.ndarray, taps_r: jnp.ndarray,
         if upfirdn_pallas_viable(n_out, int(taps_r.shape[-1]), up, down):
             p2 = planes if planes.shape[0] == 2 else jnp.concatenate(
                 [planes, jnp.zeros_like(planes)], axis=0)
-            out = _upfirdn_pallas_planes(p2, taps_r, up, down, n_out)
+            out = _upfirdn_pallas_planes(p2, taps_r, up, down, n_out,
+                                         prec=prec)
             return out[: planes.shape[0]]
     return _upfirdn_poly_planes(planes, taps_r, up, down, n_out)
 
@@ -339,8 +346,10 @@ def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
                           precision=jax.lax.Precision.HIGHEST)
     n_out = get_upfirdn_size(re.shape[-1], t2, up, down)
     planes = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)])
+    # throughput chain runs the kernel at bf16x3 (~5e-6 rel, half the MXU
+    # passes of HIGHEST); plain upfirdn() keeps the f32 scipy-parity path
     y = _upfirdn_planes_dispatch(planes, h_comb.astype(jnp.float32),
-                                 up, down, n_out)
+                                 up, down, n_out, prec="bf16x3")
     return y[0], y[1]
 
 

@@ -86,20 +86,27 @@ def _band_matrix(taps_r: np.ndarray | jnp.ndarray, up: int, down: int):
 
 def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
             prec: str = "highest"):
-    """rest = K part refs (r of them), out ref, double-buffered scratch
-    (2 slots), DMA semaphore pair.
+    """rest = K part refs (r of them; 2r hi/lo pairs for bf16x3), out ref,
+    double-buffered scratch (2 slots), DMA semaphore pair.
 
     The input tile DMA is double-buffered: step g waits on its own slot and
     prefetches step g+1's tile into the other slot before computing, so HBM
     reads overlap the MXU dots (a serial start->wait per step measured
-    0.65 ms of DMA stall for the whole 4M op — more than the matmuls)."""
+    0.65 ms of DMA stall for the whole 4M op — more than the matmuls).
+
+    prec="bf16x3": each f32 dot runs as THREE DEFAULT-precision bf16 passes
+    with explicit hi/lo splits — a_hi@K_hi + a_hi@K_lo + a_lo@K_hi (the
+    dropped lo@lo term is ~2^-16 relative) — because Mosaic does not lower
+    Precision.HIGH. The constant K side is split exactly at trace time.
+    Half the MXU passes of HIGHEST at ~1e-6-grade accuracy."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kparts = rest[:r]
-    out = rest[r]
-    scratch = rest[r + 1]          # (2, 2, rows, R): [slot, plane, rows, R]
-    sems = rest[r + 2]             # (2,) DMA semaphores
+    nk = 2 * r if prec == "bf16x3" else r
+    kparts = rest[:nk]
+    out = rest[nk]
+    scratch = rest[nk + 1]         # (2, 2, rows, R): [slot, plane, rows, R]
+    sems = rest[nk + 2]            # (2,) DMA semaphores
 
     gi = pl.program_id(0)
     nsteps = pl.num_programs(0)
@@ -125,11 +132,28 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
 
     tile_copy(gi, slot).wait()
 
+    if prec == "bf16x3":
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for p in range(2):
+            acc = jnp.zeros((bt, cols), jnp.float32)
+            for j in range(r):
+                wj = widths[j]
+                a = scratch[slot, p, pl.ds(j, bt), :][:, :wj]
+                a_hi = a.astype(jnp.bfloat16)
+                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                k_hi = kparts[2 * j][...]
+                k_lo = kparts[2 * j + 1][...]
+                acc = acc + (dot(a_hi, k_hi) + dot(a_hi, k_lo)) \
+                    + dot(a_lo, k_hi)
+            out[p, 0] = acc
+        return
+
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision={"highest": jax.lax.Precision.HIGHEST,
-                   "high": jax.lax.Precision.HIGH,
                    "default": jax.lax.Precision.DEFAULT}[prec])
 
     for p in range(2):
@@ -156,14 +180,20 @@ def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
     P, S, cols, R = upfirdn_geometry(up, down)
     Kj, Lh, W = _band_matrix(taps_r.astype(jnp.float32), up, down)
     r = -(-W // R)
-    # K parts: rows [j*R : j*R + w_j], lane-padded to 128 multiples
+    # K parts: rows [j*R : j*R + w_j], lane-padded to 128 multiples;
+    # bf16x3 passes exact hi/lo split pairs instead
     widths, kparts = [], []
     for j in range(r):
         wj = min(R, W - j * R)
         wjp = -(-wj // 128) * 128
         kp = jnp.pad(Kj[j * R: j * R + wj], ((0, wjp - wj), (0, 0)))
         widths.append(wjp)
-        kparts.append(kp)
+        if prec == "bf16x3":
+            k_hi = kp.astype(jnp.bfloat16)
+            k_lo = (kp - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            kparts.extend([k_hi, k_lo])
+        else:
+            kparts.append(kp)
 
     nb = -(-n_out // cols)
     nsteps = -(-nb // bt)
@@ -182,7 +212,7 @@ def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
                           widths=tuple(widths), prec=prec),
         grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * r,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(kparts),
         out_specs=pl.BlockSpec((2, 1, bt, cols), lambda g: (0, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, nsteps, bt, cols), jnp.float32),

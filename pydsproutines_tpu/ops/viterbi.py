@@ -89,13 +89,17 @@ class ViterbiDemodulator:
 
             survivor = self.survivor_metric
 
+            pret_static = tuple(map(tuple, pretransitions.tolist()))
+            start_static = tuple(bool(v) for v in a_mask)
+
             def _impl(y):
                 paths, metrics = _viterbi_run(
                     y.astype(jnp.complex64), jnp.asarray(alphabet),
                     jnp.asarray(pretransitions), jnp.asarray(pulses),
                     jnp.asarray(omegas), jnp.asarray(a_mask), up=up,
                     pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
-                    survivor_metric=survivor)
+                    survivor_metric=survivor, pret_static=pret_static,
+                    start_static=start_static)
                 best = jnp.argmin(metrics)
                 vals = jnp.asarray(alphabet)[paths]
                 return vals[best], metrics, vals
@@ -119,10 +123,12 @@ def _viterbi_fast_viable(a: int, k_syms: int, pathlen: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("up", "pulselen", "k_syms", "pathlen",
-                                    "survivor_metric"))
+                                    "survivor_metric", "pret_static",
+                                    "start_static"))
 def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
                  up, pulselen, k_syms, pathlen,
-                 survivor_metric: str = "branch"):
+                 survivor_metric: str = "branch", pret_static=None,
+                 start_static=None):
     """Dispatcher.
 
     * k_syms == 1 (memoryless pulses — the CPFSK norm): the branch metric
@@ -146,20 +152,56 @@ def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
         return _viterbi_run_memoryless(
             y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
             pulselen=pulselen, pathlen=pathlen,
-            survivor_metric=survivor_metric)
+            survivor_metric=survivor_metric, pret_static=pret_static,
+            start_static=start_static)
     return _viterbi_run_scan(
         y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
         pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
         survivor_metric=survivor_metric)
 
 
+def _branch_idx_tables(pret: np.ndarray, start: np.ndarray, pathlen: int):
+    """Host unroll of the FAITHFUL (branch-metric-only) survivor recursion
+    for memoryless pulses.
+
+    Round-3 proof, taken to its conclusion: with k_syms == 1 the branch
+    metric is identical across predecessors, so the scan's survivor choice
+    depends only on which predecessors are alive — and aliveness evolves
+    data-INDEPENDENTLY (alive'[p] = any(alive[pret[p]])). The entire
+    backpointer structure therefore unrolls on the host; the device-side
+    algorithm collapses to one gather + sum over the precomputed branch
+    tables (no sequential scan at all). Ties break to the first alive
+    transition, and dead states take pret[p, 0], exactly as argmin over
+    inf-masked equal values does in the scan.
+
+    Returns (idx, alive_final): idx[m, p] = survivor state at symbol m of
+    the path ending in state p — these ARE the survivor paths."""
+    A, T = pret.shape
+    alive = start.astype(bool).copy()
+    bq = np.zeros((pathlen, A), np.int32)
+    for n in range(1, pathlen):
+        new_alive = np.zeros(A, bool)
+        for p in range(A):
+            ts = [t for t in range(T) if alive[pret[p, t]]]
+            bq[n, p] = pret[p, ts[0] if ts else 0]
+            new_alive[p] = bool(ts)
+        alive = new_alive
+    idx = np.zeros((pathlen, A), np.int32)
+    idx[pathlen - 1] = np.arange(A)
+    for m in range(pathlen - 1, 0, -1):
+        idx[m - 1] = bq[m, idx[m]]
+    return idx, alive
+
+
 @functools.partial(jax.jit,
                    static_argnames=("up", "pulselen", "pathlen",
-                                    "survivor_metric", "unroll"))
+                                    "survivor_metric", "unroll",
+                                    "pret_static", "start_static"))
 def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
                             start_mask, *, up, pulselen, pathlen,
                             survivor_metric: str = "branch",
-                            unroll: int = 8):
+                            unroll: int = 8, pret_static=None,
+                            start_static=None):
     """Memoryless-pulse (k_syms == 1) trellis: precomputed branch tables +
     a backpointer ACS scan + backtrack.
 
@@ -197,6 +239,18 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
     dsq = d.real * d.real + d.imag * d.imag
     bm_full = jnp.sum(dsq, axis=-1)                         # (pathlen, A)
     bm_short = jnp.sum(dsq[..., :up], axis=-1)
+
+    if (survivor_metric == "branch" and pret_static is not None
+            and start_static is not None):
+        # data-independent control flow: host-precomputed survivor indices,
+        # device work = one gather + sum (see _branch_idx_tables)
+        idx_np, alive_final = _branch_idx_tables(
+            np.asarray(pret_static, np.int32),
+            np.asarray(start_static, bool), pathlen)
+        gat = jnp.take_along_axis(bm_short, jnp.asarray(idx_np), axis=1)
+        metrics = jnp.where(jnp.asarray(alive_final),
+                            jnp.sum(gat, axis=0), inf)
+        return jnp.asarray(idx_np.T), metrics
 
     metrics0 = jnp.where(start_mask, bm_short[0], inf)
     pret = pretransitions

@@ -251,3 +251,20 @@ def test_fir_upfirdn_planes_flat_matches(rng):
         assert got.shape == ref.shape, (up, down)
         scale = max(1.0, np.abs(ref).max())
         assert np.max(np.abs(got - ref)) / scale < 1e-6, (up, down)
+
+
+def test_upfirdn_pallas_bf16x3_accuracy(rng):
+    """The chain's bf16x3 kernel precision stays ~1e-5-grade vs float64
+    (HIGHEST is ~5e-7; DEFAULT bf16 would be ~3e-3)."""
+    import scipy.signal as sps
+    from pydsproutines_tpu.ops.pallas.upfirdn import _upfirdn_pallas_planes
+    n, n_out, up, down = 300_000, 200_000, 5, 4
+    planes = rng.standard_normal((2, n)).astype(np.float32)
+    h = (rng.standard_normal(735) / 27.0).astype(np.float32)
+    ref = np.stack([sps.upfirdn(h.astype(np.float64),
+                                planes[k].astype(np.float64), up, down)[:n_out]
+                    for k in range(2)])
+    b3 = np.asarray(_upfirdn_pallas_planes(
+        jnp.asarray(planes), jnp.asarray(h), up, down, n_out,
+        interpret=True, prec="bf16x3"))
+    assert np.abs(b3 - ref).max() / np.abs(ref).max() < 2e-5

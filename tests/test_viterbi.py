@@ -222,3 +222,35 @@ def test_path_survivor_fixes_memoryless_degeneracy(rng):
     # the degenerate survivor history cannot follow the symbol sequence
     decoded_b = (np.asarray(best_b).real < 0).astype(int)
     assert not np.array_equal(decoded_b, true_syms)
+
+
+def test_static_tables_path_matches_scan(rng):
+    """The host-unrolled control-flow path (pret/start passed statically)
+    must reproduce the general scan's paths and metrics exactly, including
+    dead start states."""
+    from pydsproutines_tpu.ops.viterbi import (_viterbi_run_memoryless,
+                                               _viterbi_run_scan)
+    up = 4
+    A = 4
+    alphabet = np.exp(1j * 2 * np.pi * np.arange(A) / A).astype(np.complex64)
+    pret = np.stack([np.roll(np.arange(A), 1),
+                     np.roll(np.arange(A), -1)], axis=1).astype(np.int32)
+    pulses = np.stack([np.hanning(up) + 0.1]).astype(np.complex64)
+    omegas = np.array([0.03], dtype=np.float32)
+    pathlen = 41
+    y = (rng.standard_normal(pathlen * up)
+         + 1j * rng.standard_normal(pathlen * up)).astype(np.complex64)
+    for start in (np.array([True, False, False, False]),
+                  np.array([True, True, True, True])):
+        p1, m1 = _viterbi_run_memoryless(
+            jnp.asarray(y), jnp.asarray(alphabet), jnp.asarray(pret),
+            jnp.asarray(pulses), jnp.asarray(omegas), jnp.asarray(start),
+            up=up, pulselen=up, pathlen=pathlen,
+            pret_static=tuple(map(tuple, pret.tolist())),
+            start_static=tuple(bool(v) for v in start))
+        p2, m2 = _viterbi_run_scan(
+            jnp.asarray(y), jnp.asarray(alphabet), jnp.asarray(pret),
+            jnp.asarray(pulses), jnp.asarray(omegas), jnp.asarray(start),
+            up=up, pulselen=up, k_syms=1, pathlen=pathlen)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-5)
+        assert np.array_equal(np.asarray(p1), np.asarray(p2))
