@@ -58,8 +58,9 @@ def _bf16_split_np(a64: np.ndarray):
 
 
 def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
-                w1i_lo, w2r, w2i, w2r_lo, w2i_lo, w1s, w2s, out_max, out_idx,
-                *, n1: int, n2: int, k1t: int, step: int, mode: str):
+                w1i_lo, w2r, w2i, w2r_lo, w2i_lo, w1s, w2s, flatc, out_max,
+                out_idx, *, n1: int, n2: int, k1t: int, step: int,
+                mode: str):
     """One shift: full modulate -> two-stage DFT -> |.|^2 -> argmax.
 
     z_*: (1, n1, n2 + (B-1)*step) shared window planes for this chunk.
@@ -160,10 +161,10 @@ def _caf_kernel(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo,
 
         mag = rr * rr + ri * ri                       # (k1t, n2)
         tmax = jnp.max(mag)
-        kk1 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0) + tk * k1t
-        kk2 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-        flat = kk1 * n2 + kk2                         # k1-major permuted pos
-        tidx = jnp.min(jnp.where(mag >= tmax, flat, _INT_MAX))
+        # k1-major permuted positions from a resident constant table: the
+        # in-loop iota+mul+add build measured ~2% of the kernel
+        # (benchmarks/exp_1m_phases.py full vs full-opt)
+        tidx = jnp.min(jnp.where(mag >= tmax, flatc[rows, :], _INT_MAX))
         take = tmax > best_m
         best_i = jnp.where(take, tidx, best_i)
         best_m = jnp.where(take, tmax, best_m)
@@ -186,7 +187,8 @@ def _vmem_estimate(n1: int, n2: int, k1t: int, halo: int, mode: str) -> int:
                                 2 * (2 if mode == "bf16x3" else 1))) \
         + (n1 * n2 * 2 if mode == "bf16" else 0)    # psum plane
     tile = 2 * k1t * n2 * f32 * 3               # f1, g, r2/mag liveness
-    return z + cc + tw + w1 + w2 + pdt + tile
+    flat = n1 * n2 * 4                          # argmax flat-index constant
+    return z + cc + tw + w1 + w2 + pdt + tile + flat
 
 
 class FusedXcorrPlan:
@@ -227,6 +229,8 @@ class FusedXcorrPlan:
         tw_64 = np.exp(-2j * np.pi * np.mod(np.outer(k1, j), n) / n)
         self.tw_re = tw_64.real.astype(np.float32)
         self.tw_im = tw_64.imag.astype(np.float32)
+        self.flatc = (np.arange(n1)[:, None] * n2
+                      + np.arange(n2)[None, :]).astype(np.int32)
         import ml_dtypes
         bf16 = np.dtype(ml_dtypes.bfloat16)
         dummy = np.zeros((1, 1), bf16)
@@ -255,8 +259,9 @@ class FusedXcorrPlan:
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "k1t", "step",
                                              "batch", "mode", "interpret"))
 def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
-                     w1r_lo, w1i_lo, w2r, w2i, w2r_lo, w2i_lo, w1s, w2s, *,
-                     n1, n2, k1t, step, batch, mode, interpret=False):
+                     w1r_lo, w1i_lo, w2r, w2i, w2r_lo, w2i_lo, w1s, w2s,
+                     flatc, *, n1, n2, k1t, step, batch, mode,
+                     interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -270,7 +275,7 @@ def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
         functools.partial(_caf_kernel, n1=n1, n2=n2, k1t=k1t, step=step,
                           mode=mode),
         grid=(nchunks, batch),
-        in_specs=[z_spec, z_spec] + [const] * 14,
+        in_specs=[z_spec, z_spec] + [const] * 15,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((nchunks, batch), jnp.float32),
@@ -283,7 +288,7 @@ def _caf_peak_pallas(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i,
             transcendentals=0),
         interpret=interpret,
     )(z_re, z_im, cc_re, cc_im, tw_re, tw_im, w1r, w1i, w1r_lo, w1i_lo,
-      w2r, w2i, w2r_lo, w2i_lo, w1s, w2s)
+      w2r, w2i, w2r_lo, w2i_lo, w1s, w2s, flatc)
 
 
 _PLAN_CACHE: dict = {}
@@ -348,6 +353,7 @@ def fused_freq_scan_peak(cutout_conj, rx_padded, start0, nchunks: int,
         jnp.asarray(plan.w2r), jnp.asarray(plan.w2i),
         jnp.asarray(plan.w2r_lo), jnp.asarray(plan.w2i_lo),
         jnp.asarray(plan.w1s), jnp.asarray(plan.w2s),
+        jnp.asarray(plan.flatc),
         n1=n1, n2=n2, k1t=plan.k1t, step=step, batch=batch, mode=plan.mode,
         interpret=interpret)
     # permuted position (k1-major) -> true bin k1 + n1*k2
