@@ -467,9 +467,12 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
         return step
 
     d_y = jax.device_put(jnp.asarray(y_ri))
-    dt = rep_differenced(make_step("branch"), d_y)
+    # the branch path is ~tens of us/rep (scan-free gather+sum): scan-over-
+    # reps keeps program size constant, so escalate far enough to clear
+    # degraded-transport jitter instead of noise-refusing
+    dt = rep_differenced(make_step("branch"), d_y, max_r_hi=16384)
     rate = B * nsyms / dt / 1e6  # Msymbols/s across the burst batch
-    dt_path = rep_differenced(make_step("path"), d_y)
+    dt_path = rep_differenced(make_step("path"), d_y, max_r_hi=2048)
     rate_path = B * nsyms / dt_path / 1e6
 
     # CPU tier baseline: per-symbol numpy trellis on 2 bursts, scaled

@@ -52,4 +52,60 @@ for n, nsh, batch, step in [(4096, 32, 8, 1), (8192, 16, 4, 3), (65536, 16, 16, 
           f"bins match {bins_match:.2%}")
     results.append(ok_peak and ok_bin and relerr < 2e-2)
     sys.stdout.flush()
+# ---- round-4 kernels on real hardware -------------------------------------
+# fused WOLA (34-slot fold, flat-plane surface) vs the XLA banded-matmul path
+from pydsproutines_tpu.ops.wola import wola, wola_planes_flat
+nw = 64 * 4096
+xw = (rng.standard_normal(nw) + 1j * rng.standard_normal(nw)).astype(np.complex64)
+hw = rng.standard_normal(2048).astype(np.float32)
+# f64 numpy truth (vectorized reference wola fold + IFFT)
+nprime = nw // 64
+idxw = np.arange(nprime)[:, None] * 64 - np.arange(2048)[None, :]
+validw = idxw >= 0
+winw = np.where(validw, xw.astype(np.complex128)[np.clip(idxw, 0, nw - 1)], 0)
+folded = (winw * hw.astype(np.float64)).reshape(nprime, 32, 64).sum(axis=1)
+ref = np.fft.ifft(folded, axis=-1) * 64
+f_re, f_im = jax.jit(functools.partial(wola_planes_flat, dec=64, n=64))(
+    jax.device_put(jnp.asarray(hw)),
+    jax.device_put(jnp.asarray(xw.real)), jax.device_put(jnp.asarray(xw.imag)))
+got = (np.asarray(f_re) + 1j * np.asarray(f_im)).reshape(ref.shape)
+relw = np.abs(got - ref).max() / np.abs(ref).max()
+ok_w = relw < 1e-5
+print(f"wola fused flat (34-slot fold): rel {relw:.2e} "
+      f"{'OK' if ok_w else 'BAD'}")
+results.append(ok_w)
+
+# bf16x3 upfirdn chain kernel vs scipy f64
+import scipy.signal as sps
+from pydsproutines_tpu.ops.filters import fir_upfirdn_planes_flat
+nf = 1 << 20
+xf = (rng.standard_normal(nf) + 1j * rng.standard_normal(nf)).astype(np.complex64)
+h1 = rng.standard_normal(128).astype(np.float32) / 11.0
+h2 = rng.standard_normal(95).astype(np.float32) / 10.0
+o_re, o_im = jax.jit(functools.partial(fir_upfirdn_planes_flat, up=5, down=4))(
+    jax.device_put(jnp.asarray(h1)), jax.device_put(jnp.asarray(h2)),
+    jax.device_put(jnp.asarray(xf.real)), jax.device_put(jnp.asarray(xf.imag)))
+h_up = np.zeros(128 * 5 - 4); h_up[::5] = h1
+h_c = np.convolve(h_up, h2.astype(np.float64))
+reff = np.stack([sps.upfirdn(h_c, xf.real.astype(np.float64), 5, 4),
+                 sps.upfirdn(h_c, xf.imag.astype(np.float64), 5, 4)])
+gotf = np.stack([np.asarray(o_re), np.asarray(o_im)])
+reff = reff[:, :gotf.shape[1]]
+relf = np.abs(gotf - reff).max() / np.abs(reff).max()
+ok_f = relf < 2e-5
+print(f"fir_upfirdn chain (bf16x3 kernel): rel {relf:.2e} "
+      f"{'OK' if ok_f else 'BAD'}")
+results.append(ok_f)
+
+# medfilt MXU-count kernel: bit-exact vs scipy on real hardware
+from pydsproutines_tpu.ops.filters import medfilt as _mf
+nm = 1 << 19
+xm = (rng.standard_normal(nm).astype(np.float32)) ** 2
+gm = np.asarray(jax.jit(functools.partial(_mf, kernel_size=129))(
+    jax.device_put(jnp.asarray(xm))))
+rm = sps.medfilt(xm, 129)
+ok_m = np.array_equal(gm, rm.astype(np.float32))
+print(f"medfilt MXU-count kernel: {'bit-exact OK' if ok_m else 'BAD'}")
+results.append(ok_m)
+
 print("HW PARITY:", "PASS" if all(results) else "FAIL")
