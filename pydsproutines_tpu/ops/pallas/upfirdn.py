@@ -141,8 +141,17 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
             for j in range(r):
                 wj = widths[j]
                 a = scratch[slot, p, pl.ds(j, bt), :][:, :wj]
-                a_hi = a.astype(jnp.bfloat16)
-                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                # hi part by explicit mantissa TRUNCATION (bitmask): the
+                # arithmetic form a - f32(bf16(a)) measured zero on real
+                # Mosaic (folded as an exact round-trip — hw_parity caught
+                # 1.46e-3, single-pass grade); the bitwise split cannot be
+                # simplified away. Truncated hi is bf16-exact by
+                # construction; lo carries the next 16 mantissa bits.
+                au = jax.lax.bitcast_convert_type(a, jnp.uint32)
+                a_hi_f = jax.lax.bitcast_convert_type(
+                    au & jnp.uint32(0xFFFF0000), jnp.float32)
+                a_hi = a_hi_f.astype(jnp.bfloat16)
+                a_lo = (a - a_hi_f).astype(jnp.bfloat16)
                 k_hi = kparts[2 * j][...]
                 k_lo = kparts[2 * j + 1][...]
                 acc = acc + (dot(a_hi, k_hi) + dot(a_hi, k_lo)) \
