@@ -92,8 +92,8 @@ reff = np.stack([sps.upfirdn(h_c, xf.real.astype(np.float64), 5, 4),
 gotf = np.stack([np.asarray(o_re), np.asarray(o_im)])
 reff = reff[:, :gotf.shape[1]]
 relf = np.abs(gotf - reff).max() / np.abs(reff).max()
-ok_f = relf < 2e-5
-print(f"fir_upfirdn chain (bf16x3 kernel): rel {relf:.2e} "
+ok_f = relf < 2e-6
+print(f"fir_upfirdn chain (HIGHEST kernel): rel {relf:.2e} "
       f"{'OK' if ok_f else 'BAD'}")
 results.append(ok_f)
 

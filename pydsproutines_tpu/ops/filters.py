@@ -346,10 +346,13 @@ def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
                           precision=jax.lax.Precision.HIGHEST)
     n_out = get_upfirdn_size(re.shape[-1], t2, up, down)
     planes = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)])
-    # throughput chain runs the kernel at bf16x3 (~5e-6 rel, half the MXU
-    # passes of HIGHEST); plain upfirdn() keeps the f32 scipy-parity path
+    # HIGHEST: on real Mosaic, DEFAULT-precision dot RESULTS are
+    # bf16-rounded regardless of operand hi/lo splitting (measured on v5e:
+    # bf16x3 1.6e-3, single-pass 2.2e-3, HIGHEST 2.1e-7 — the
+    # error-compensated 3-pass scheme cannot beat ~1e-3 on chip even
+    # though interpret mode shows 5e-6). f32-grade parity keeps HIGHEST.
     y = _upfirdn_planes_dispatch(planes, h_comb.astype(jnp.float32),
-                                 up, down, n_out, prec="bf16x3")
+                                 up, down, n_out, prec="highest")
     return y[0], y[1]
 
 
