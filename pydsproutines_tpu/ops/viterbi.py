@@ -252,6 +252,54 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
                             jnp.sum(gat, axis=0), inf)
         return jnp.asarray(idx_np.T), metrics
 
+    if survivor_metric == "path" and pathlen > 1:
+        # The memoryless path-metric recursion is a MIN-PLUS AFFINE map per
+        # symbol: m_n[p] = min_t m_{n-1}[pret[p,t]] + bm_short[n, p] (the
+        # bm_full term is constant across t here, so selection reduces to
+        # argmin over predecessor path metrics). Min-plus maps compose
+        # associatively, so ALL prefix metrics evaluate in O(log N)
+        # parallel passes via associative_scan of (A, A) min-plus matrices
+        # — the serial 6-us-per-step ACS scan (launch-latency bound,
+        # benchmarks/exp_viterbi_unroll.py) disappears while the recursion
+        # stays fully data-DEPENDENT (unlike the 'branch' static tables).
+        # Backtracking composes (A,)-index maps the same way.
+        pret = pretransitions
+        A_ = A
+        T = pret.shape[1]
+        # per-step matrices M_n[p, j] = bm_short[n, p] + (0 if j is a
+        # predecessor of p else inf), for n = 1..pathlen-1
+        adj = jnp.full((A_, A_), inf).at[
+            jnp.arange(A_)[:, None], pret].set(0.0)      # static indices
+        mats = bm_short[1:, :, None] + adj[None, :, :]   # (N-1, A, A)
+
+        def compose(m1, m2):
+            # (m2 after m1): C[p, j] = min_k m2[p, k] + m1[k, j]
+            return jnp.min(m2[..., :, :, None] + m1[..., None, :, :],
+                           axis=-2)
+
+        prefix = jax.lax.associative_scan(compose, mats)  # (N-1, A, A)
+        m0 = jnp.where(start_mask, bm_short[0], inf)
+        all_m = jnp.min(prefix + m0[None, None, :], axis=-1)  # (N-1, A)
+        metrics = all_m[-1]
+        m_prev = jnp.concatenate([m0[None], all_m[:-1]], axis=0)  # (N-1, A)
+
+        # survivor choice per step from the prefix metrics (one batch
+        # gather): best_t = argmin over t (ties -> lowest t, as the scan)
+        cand = m_prev[:, pret]                           # (N-1, A, T)
+        best_t = jnp.argmin(cand, axis=-1)
+        bq = pret[jnp.arange(A_)[None, :], best_t]       # (N-1, A)
+
+        # backtrack by composing index maps g_m(p) = bq[m-1, p] from the
+        # end: suffix[m, p] = state at symbol m of the path ending in p
+        def compose_idx(g2, g1):
+            # apply g2 first (later step), then g1
+            return jnp.take_along_axis(g1, g2, axis=-1)
+
+        suffix = jax.lax.associative_scan(compose_idx, bq, reverse=True)
+        idx = jnp.concatenate(
+            [suffix, jnp.arange(A_, dtype=bq.dtype)[None, :]], axis=0)
+        return idx.T.astype(jnp.int32), metrics
+
     metrics0 = jnp.where(start_mask, bm_short[0], inf)
     pret = pretransitions
 
