@@ -490,6 +490,52 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
     return rate, cpu_rate, dt, rate_path, dt_path
 
 
+def bench_cpm_viterbi_k2(B=64, nsyms=512, up=8):
+    """Pulse-memory CPM trellis (k_syms = 2, the case the reference's C++
+    PyViterbiDemodulator exists for): path-metric MLSE over the (A+1)^2
+    window-state space via the min-plus associative scan
+    (ops/viterbi.py _viterbi_run_path_acs). Round-4 ran this geometry on
+    the sequential scan at ~6-10 Msym/s (launch-latency bound)."""
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.ops.viterbi import _viterbi_run
+
+    alphabet = np.array([1.0, -1.0], dtype=np.complex64)
+    pretransitions = np.array([[0, 1], [0, 1]], dtype=np.int32)
+    pulse = np.full((1, 2 * up), 0.5, dtype=np.complex64)  # spans 2 symbols
+    omegas = np.array([0.05], dtype=np.float32)
+    start_mask = np.array([True, True])
+    L = nsyms * up
+    rng = np.random.default_rng(7)
+    y_ri = rng.standard_normal((2, B, L), dtype=np.float32)
+    pret_static = tuple(map(tuple, pretransitions.tolist()))
+    start_static = tuple(bool(v) for v in start_mask)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(yri, salt, n_reps):
+        def one(yrow):
+            paths, metrics = _viterbi_run(
+                yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
+                jnp.asarray(pulse), jnp.asarray(omegas),
+                jnp.asarray(start_mask), up=up, pulselen=2 * up, k_syms=2,
+                pathlen=nsyms, survivor_metric="path",
+                pret_static=pret_static, start_static=start_static)
+            return metrics[jnp.argmin(metrics)]
+
+        def body(acc, i):
+            yb = jax.lax.complex(
+                yri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
+                yri[1])
+            return acc + jnp.sum(jax.vmap(one)(yb)), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(n_reps, dtype=jnp.float32))
+        return acc
+
+    d_y = jax.device_put(jnp.asarray(y_ri))
+    dt = rep_differenced(step, d_y, max_r_hi=2048)
+    return B * nsyms / dt / 1e6, dt
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
 
@@ -538,12 +584,22 @@ def main():
     if only in (None, "viterbi"):
         def _vit():
             rate, cpu, dt, rate_p, dt_p = bench_cp2fsk_viterbi()
-            emit("cp2fsk_viterbi_64x512", rate, "Msymbols/s", cpu, dt)
-            # non-degenerate textbook-ACS variant: the honest sequential-
-            # trellis number (the faithful metric above is control-flow
-            # degenerate for memoryless pulses — see ops/viterbi.py)
+            # HEADLINE: the non-degenerate path-metric trellis (textbook
+            # ACS as a min-plus associative scan) — a real data-dependent
+            # sequential recursion, evaluated in O(log N) depth
             emit("cp2fsk_viterbi_path_64x512", rate_p, "Msymbols/s", cpu,
                  dt_p)
+            # pulse-memory MLSE (k_syms=2) over the window-state trellis —
+            # the case the reference's C++ port exists for
+            rate_k2, dt_k2 = bench_cpm_viterbi_k2()
+            emit("cpm_viterbi_k2_path_64x512", rate_k2, "Msymbols/s", cpu,
+                 dt_k2)
+            # faithful-to-reference 'branch' survivor semantics: provably
+            # data-INDEPENDENT for memoryless pulses (round-3 proof), so
+            # the device work is a precomputed-table gather+sum — NOT a
+            # sequential trellis; labeled accordingly
+            emit("cp2fsk_viterbi_branch_tables_64x512", rate, "Msymbols/s",
+                 cpu, dt)
         guard("viterbi", _vit)
 
 

@@ -430,7 +430,13 @@ class SGP4Propagator:
                 + t4 * (c["t4cof"] + t * c["t5cof"])
         am = c["ao"] * tempa ** 2
         nm = c["xke"] / am ** 1.5
-        em = np.maximum(tle.ecco - tempe, 1.0e-6)
+        em_raw = tle.ecco - tempe
+        # reference error semantics (sgp4 package, as wrapped by
+        # /root/reference/satelliteRoutines.py:28): mean motion <= 0 or
+        # eccentricity >= 1 is a propagation error — flag the sample
+        # instead of silently returning garbage (samples NaN-masked below)
+        bad = (nm <= 0.0) | (em_raw >= 1.0) | (em_raw < -0.001)
+        em = np.maximum(em_raw, 1.0e-6)
         mm = mm + c["no_unkozai"] * templ
         xlm = mm + argpm + nodem
         nodem = np.mod(nodem, _TWOPI)
@@ -510,6 +516,13 @@ class SGP4Propagator:
         v = np.stack([mvt * ux + rvdot * vx,
                       mvt * uy + rvdot * vy,
                       mvt * uz + rvdot * vz], axis=-1) * vkmps
+        # decayed-satellite check (reference sgp4 error code 6: mrt < 1.0
+        # means the propagated radius is below the Earth's surface): NaN
+        # the affected samples rather than returning subterranean states
+        bad = bad | (mrt < 1.0)
+        if np.any(bad):
+            r = np.where(bad[..., None], np.nan, r)
+            v = np.where(bad[..., None], np.nan, v)
         return r, v
 
     def teme_posvel(self, t_unix) -> tuple[np.ndarray, np.ndarray]:

@@ -232,6 +232,72 @@ class SortedFolderReader(FolderReader):
         fts = self.filetimes[self.fidx - num_files: self.fidx]
         return data, fps, fts
 
+    def split_high_amp_subfolders(self, target_folder_path: str,
+                                  select_times=None, min_amp: float = 1e3,
+                                  buf_front: int = 1, buf_back: int = 1,
+                                  only_extract_times: bool = False,
+                                  only_extract_groups: bool = False,
+                                  fmt: str = "%06d",
+                                  use_database: bool = False,
+                                  db_file_path: str | None = None):
+        """Detect files whose peak amplitude exceeds ``min_amp``, expand each
+        hit by [t - buf_front, t + buf_back], and either copy the resulting
+        contiguous groups into numbered subfolders of ``target_folder_path``
+        or record them in a GroupDatabase (reference splitHighAmpSubfolders,
+        usrpRoutines.py:450).
+
+        Returns the sorted unique ``select_times`` so a second reader can
+        snapshot the same groups synchronously. ``only_extract_times``
+        returns just that list; ``only_extract_groups`` returns the times
+        split into contiguous groups (list of lists). The internal read
+        index is never touched.
+        """
+        import shutil
+
+        if select_times is None:
+            select_times = []
+            for path, t in zip(self.filepaths, self.filetimes):
+                data = simple_bin_read(path, self.num_samps_per_file,
+                                       self.in_dtype, self.out_dtype)
+                if float(np.max(np.abs(data))) > min_amp:
+                    select_times.extend(
+                        range(int(t) - buf_front, int(t) + buf_back + 1))
+        select_times = sorted(set(int(t) for t in select_times))
+        if len(select_times) == 0:
+            raise IndexError("No groups were found. Perhaps try lowering "
+                             "the min_amp threshold?")
+        if only_extract_times:
+            return select_times
+
+        st = np.asarray(select_times)
+        cuts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(st) > 1) + 1, [st.size]])
+        groups = [select_times[cuts[i]: cuts[i + 1]]
+                  for i in range(cuts.size - 1)]
+        if only_extract_groups:
+            return groups
+
+        if use_database:
+            if db_file_path is None:
+                db_file_path = os.path.join(target_folder_path, "groups.db")
+            os.makedirs(os.path.dirname(db_file_path) or ".", exist_ok=True)
+            gd = GroupDatabase(db_file_path)
+            gd.add_table("groups")
+            for i, grp in enumerate(groups):
+                gd.insert_group("groups", i, grp[0], grp[-1])
+        else:
+            os.makedirs(target_folder_path, exist_ok=True)
+            for i, grp in enumerate(groups):
+                subdir = os.path.join(target_folder_path, fmt % i)
+                os.makedirs(subdir, exist_ok=True)
+                for t in grp:
+                    src = os.path.join(self.folderpath,
+                                       f"{t}{self.extension}")
+                    if os.path.isfile(src):
+                        shutil.copy2(src, os.path.join(
+                            subdir, os.path.basename(src)))
+        return select_times
+
 
 class GroupReader(SortedFolderReader):
     """Reader that partitions timestamped files into contiguous groups (burst

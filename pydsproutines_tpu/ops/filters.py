@@ -227,10 +227,14 @@ def _upfirdn_planes_dispatch(planes: jnp.ndarray, taps_r: jnp.ndarray,
     VMEM — no im2col HBM pass), XLA banded matmul elsewhere / for odd
     shapes. Both compute the identical gp-block polyphase math.
 
-    ``prec``: "highest" (f32, ~5e-7 rel — the scipy-parity default) or
-    "bf16x3" (explicit hi/lo bf16 splits, ~5e-6 rel, half the MXU passes —
-    the throughput chain's choice; Pallas path only, the XLA fallback
-    stays HIGHEST)."""
+    ``prec``: "highest" (f32, ~5e-7 rel — the default; every production
+    caller uses it) or "bf16x3" (explicit hi/lo bf16 splits): EXPERIMENTAL
+    / interpret-grade only — on real Mosaic, DEFAULT-precision dot results
+    are bf16-rounded regardless of operand splitting, so bf16x3 measured
+    ~1.6e-3 rel on v5e (vs the 5e-6 interpret mode shows); it is retained
+    as the documented negative result (ROADMAP round-4 Mosaic precision
+    finding), not as a throughput mode. Pallas path only; the XLA
+    fallback always runs HIGHEST."""
     if (planes.shape[0] <= 2 and jnp.float32 == planes.dtype
             and jax.devices()[0].platform == "tpu"):
         from pydsproutines_tpu.ops.pallas.upfirdn import (

@@ -74,11 +74,19 @@ def wola_fused_viable(n_ch: int, dec: int, taps: int, rows: int,
                       dtype) -> bool:
     if n_ch != dec:
         return False
-    if n_ch != 64:
-        return False                                 # pair layout: 2 rows/vreg
-    B = taps // n_ch
-    if B % 16 != 0 or B > 256:
-        return False                                 # even/odd split + align
+    if n_ch == 64:
+        B = taps // n_ch
+        if B % 16 != 0 or B > 256:
+            return False                             # even/odd split + align
+    elif n_ch in (128, 256):
+        # plane-direct layout (round 5): xq rows are already >= 128 lanes,
+        # so no pair trick — straight sublane-shifted FMAs + one (2n, 2n)
+        # IDFT matmul (ROADMAP round-3 lead #3)
+        B = taps // n_ch
+        if B % 8 != 0 or B > 256:
+            return False                             # aligned-fold grouping
+    else:
+        return False
     if rows < 2048:
         return False                                 # too small to matter
     return jnp.dtype(dtype) == jnp.complex64
@@ -225,13 +233,153 @@ def _fold_tables(f_tap, n: int, B: int):
 
 
 def _check_geometry(dec: int, n: int):
-    if n != dec or n != 64:
+    if n != dec or n not in (64, 128, 256):
         raise ValueError(
-            f"wola_fused supports only the critically-sampled n == dec == 64 "
-            f"pair-row layout (got n={n}, dec={dec}); use ops.wola.wola() — "
-            f"its banded-matmul path handles every geometry, and the "
-            f"dispatcher (ops/wola.py) routes to this kernel automatically "
-            f"when viable.")
+            f"wola_fused supports only critically-sampled n == dec with "
+            f"n in (64, 128, 256) (got n={n}, dec={dec}); use "
+            f"ops.wola.wola() — its banded-matmul path handles every "
+            f"geometry, and the dispatcher (ops/wola.py) routes to this "
+            f"kernel automatically when viable.")
+
+
+# -- plane-direct variant (n in {128, 256}) -----------------------------------
+# xq rows are already >= 128 lanes, so each (rows, n) f32 plane is natively
+# tiled: the fold is straight sublane-shifted FMAs (no parity split, no
+# companion tile) and the IDFT one (kb, 2n) @ (2n, 2n) matmul of
+# [g_re | g_im] against [[Wr, Wi], [-Wi, Wr]].
+
+def _idft_direct_block(n: int) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)
+    wconj = np.exp(2j * np.pi * np.mod(np.outer(k, k), n) / n)
+    perm = (-np.arange(n)) % n                       # xq column c -> phase a
+    Wp = wconj[perm]
+    return np.block([[Wp.real.astype(np.float32),
+                      Wp.imag.astype(np.float32)],
+                     [-Wp.imag.astype(np.float32),
+                      Wp.real.astype(np.float32)]])
+
+
+def _fold_tables_direct(f_tap, n: int, B: int):
+    """Direct-layout aligned-fold tap table t3: (8*nq + 1, n) with
+    nq = B/8. Slot (r, q) holds tap u = B - 8q - r (all 8*nq slots are
+    valid u in [1, B] — zero waste) and row 8*nq holds u == 0, applied as
+    one B-aligned extra FMA. Same base table T as the pair variant
+    (xq-column order, phase permutation absorbed by the IDFT row perm)."""
+    taps = f_tap.shape[-1]
+    h = jnp.real(f_tap).astype(jnp.float32)
+    s_i = np.arange(B + 1)[:, None]
+    c_i = np.arange(n)[None, :]
+    idx0 = np.clip(s_i * n, 0, taps - 1)
+    idxc = np.clip((s_i - 1) * n + (n - c_i), 0, taps - 1)
+    valid = np.where(c_i == 0, s_i < B, s_i >= 1)
+    tap_idx = np.where(c_i == 0, idx0, idxc)
+    T = jnp.where(jnp.asarray(valid), h[jnp.asarray(tap_idx)], 0.0)
+    nq = B // 8
+    u_i = B - 8 * np.tile(np.arange(nq), 8) - np.repeat(np.arange(8), nq)
+    u_i = np.concatenate([u_i, [0]])
+    t3 = T[jnp.asarray(np.clip(u_i, 0, B))]
+    return t3, nq
+
+
+def _kernel_direct(xre_hbm, xim_hbm, t3, ww, out, scratch, sems, *, kb: int,
+                   B: int, nq: int, n: int, nsteps: int):
+    """Plane-direct fused fold+IDFT. Tile rows = B + kb + 8 (8 over-read
+    rows for the aligned-fold regrouping); history = B rows."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gi = pl.program_id(0)
+    two = jnp.asarray(2, gi.dtype)
+    slot = jax.lax.rem(gi, two)
+    nslot = jax.lax.rem(gi + 1, two)
+    planes_hbm = (xre_hbm, xim_hbm)
+
+    def full_copies(step, slot_):
+        return [pltpu.make_async_copy(
+            planes_hbm[p].at[pl.ds(step * kb - B, kb + B), :],
+            scratch.at[slot_, p, pl.ds(0, kb + B), :], sems.at[slot_, p])
+            for p in range(2)]
+
+    def head_copies(slot_):
+        return [pltpu.make_async_copy(
+            planes_hbm[p].at[pl.ds(0, kb), :],
+            scratch.at[slot_, p, pl.ds(B, kb), :], sems.at[slot_, p])
+            for p in range(2)]
+
+    @pl.when(gi == 0)
+    def _():
+        scratch[slot, :, :B, :] = jnp.zeros((2, B, n), jnp.float32)
+        scratch[0, :, kb + B:, :] = jnp.zeros((2, 8, n), jnp.float32)
+        scratch[1, :, kb + B:, :] = jnp.zeros((2, 8, n), jnp.float32)
+        for c in head_copies(slot):
+            c.start()
+
+    if nsteps > 1:
+        @pl.when(gi + 1 < nsteps)
+        def _():
+            for c in full_copies(gi + 1, nslot):
+                c.start()
+
+        @pl.when(gi > 0)
+        def _():
+            for c in full_copies(gi, slot):
+                c.wait()
+
+    @pl.when(gi == 0)
+    def _():
+        for c in head_copies(slot):
+            c.wait()
+
+    def fold(plane):
+        xt = scratch[slot, plane]                    # (kb+B+8, n)
+        acc = xt[B: B + kb, :] * t3[8 * nq]
+        for r in range(8):
+            u = xt[0: kb + 8, :] * t3[r * nq]
+            for q in range(1, nq):
+                u = u + xt[8 * q: 8 * q + kb + 8, :] * t3[r * nq + q]
+            acc = acc + u[r: r + kb, :]
+        return acc
+
+    g = jnp.concatenate([fold(0), fold(1)], axis=-1)  # (kb, 2n)
+    res = jax.lax.dot_general(
+        g, ww[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out[0, 0] = res[:, :n]
+    out[1, 0] = res[:, n:]
+
+
+def _run_fused_direct(f_tap, pre, pim, n: int, B: int, nsteps: int, kb: int,
+                      interpret: bool):
+    """Invoke the direct kernel on (nsteps*kb, n) row planes; returns the
+    raw (2, nsteps, kb, n) output."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t3, nq = _fold_tables_direct(f_tap, n, B)
+    ww = jnp.asarray(_idft_direct_block(n))          # (2n, 2n)
+    return pl.pallas_call(
+        functools.partial(_kernel_direct, kb=kb, B=B, nq=nq, n=n,
+                          nsteps=nsteps),
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2, 1, kb, n), lambda g: (0, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, nsteps, kb, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 2, kb + B + 8, n), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * kb * 2 * n * 2 * n
+            + 4 * nsteps * kb * n * (B + 1),
+            transcendentals=0,
+            bytes_accessed=4 * 4 * nsteps * kb * n),
+        interpret=interpret,
+    )(pre, pim, t3, ww)
 
 
 def _run_fused(f_tap, pre, pim, n: int, B: int, nsteps: int, kb: int,
@@ -284,6 +432,21 @@ def wola_fused_planes2(f_tap: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray,
     B = f_tap.shape[-1] // n
     rows = re.shape[0]
     kb = _pick_kb2(n, B)
+    if n >= 128:
+        # plane-direct: (rows, n) IS the kernel's native tiling
+        nsteps = -(-rows // kb)
+        pad = nsteps * kb - rows
+
+        def prep(p):
+            p = p.astype(jnp.float32)
+            if pad:
+                p = jnp.pad(p, ((0, pad), (0, 0)))
+            return p
+
+        out = _run_fused_direct(f_tap, prep(re), prep(im), n, B, nsteps,
+                                kb, interpret)
+        o = out.reshape(2, nsteps * kb, n)[:, :rows]
+        return o[0], o[1]
     rows2 = -(-rows // 2)
     nsteps = -(-rows2 // kb)
     pad = nsteps * kb * 2 - rows
@@ -316,6 +479,20 @@ def wola_fused_planes_flat(f_tap: jnp.ndarray, re: jnp.ndarray,
     B = f_tap.shape[-1] // n
     rows = re.shape[-1] // dec
     kb = _pick_kb2(n, B)
+    if n >= 128:
+        nsteps = -(-rows // kb)
+        pad_el = nsteps * kb * n - rows * n
+
+        def prep(p):
+            p = p[: rows * n].astype(jnp.float32)
+            if pad_el:
+                p = jnp.pad(p, (0, pad_el))
+            return p.reshape(nsteps * kb, n)         # free: same bytes
+
+        out = _run_fused_direct(f_tap, prep(re), prep(im), n, B, nsteps,
+                                kb, interpret)
+        o = out.reshape(2, nsteps * kb * n)[:, : rows * n]
+        return o[0], o[1]
     rows2 = -(-rows // 2)
     nsteps = -(-rows2 // kb)
     pad_el = nsteps * kb * 2 * n - rows * n
@@ -344,11 +521,13 @@ def wola_fused_planes(f_tap: jnp.ndarray, planes: jnp.ndarray, dec: int,
 @functools.partial(jax.jit, static_argnames=("dec", "n", "interpret"))
 def wola_fused(f_tap: jnp.ndarray, x: jnp.ndarray, dec: int, n: int,
                interpret: bool = False) -> jnp.ndarray:
-    """Fused-channelizer entry: complex64 x, n == dec == 64 ONLY (the
-    pair-row layout needs exactly 2 channel-rows per 128-lane vreg; other
-    geometries raise ValueError — call ops.wola.wola(), whose dispatcher
-    routes here automatically when viable). Returns (len(x)//dec, n)
-    complex64 identical to ops.wola.wola()."""
+    """Fused-channelizer entry: complex64 x, critically-sampled n == dec
+    with n in (64, 128, 256). n == 64 runs the pair-row layout (2 channel
+    rows per 128-lane vreg); n >= 128 runs the plane-direct layout (round
+    5 — rows are natively lane-tiled, no pair trick). Other geometries
+    raise ValueError — call ops.wola.wola(), whose dispatcher routes here
+    automatically when viable. Returns (len(x)//dec, n) complex64
+    identical to ops.wola.wola()."""
     rows = x.shape[-1] // dec
     xq = x[: rows * n].reshape(rows, n)
     o_re, o_im = wola_fused_planes2(

@@ -113,6 +113,20 @@ class ViterbiDemodulator:
 _VITERBI_MAX_CODES = 1024
 _VITERBI_MAX_TABLE = 1 << 24
 
+# min-plus associative-scan caps (ADVICE round-4: the compose step
+# materializes O(pathlen * S^3)-element intermediates per scan level with
+# no size gate). S = states in the min-plus recursion ((A+1)^k_syms for
+# the pulse-memory MLSE, A for the memoryless path variant); the scan
+# builds (pathlen, S, S) matrices and each compose level touches
+# ~pathlen * S^3 candidate sums.
+_ACS_MAX_STATES = 128
+_ACS_MAX_ELEMS = 1 << 27        # pathlen * S^3 budget (f32 elements)
+
+
+def _viterbi_acs_viable(a: int, k_syms: int, pathlen: int) -> bool:
+    s = (a + 1) ** k_syms if k_syms > 1 else a
+    return s <= _ACS_MAX_STATES and pathlen * s ** 3 <= _ACS_MAX_ELEMS
+
 
 def _viterbi_fast_viable(a: int, k_syms: int, pathlen: int,
                          pulselen: int) -> bool:
@@ -154,6 +168,16 @@ def _viterbi_run(y, alphabet, pretransitions, pulses, omegas, start_mask, *,
             pulselen=pulselen, pathlen=pathlen,
             survivor_metric=survivor_metric, pret_static=pret_static,
             start_static=start_static)
+    if (survivor_metric == "path" and pret_static is not None
+            and _viterbi_acs_viable(alphabet.shape[0], k_syms, pathlen)):
+        # pulse-memory MLSE as a min-plus associative scan over the
+        # (A+1)^k_syms window-state trellis (round-5; see
+        # _viterbi_run_path_acs). Size-gated: large state counts or long
+        # paths fall back to the sequential scan below.
+        return _viterbi_run_path_acs(
+            y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
+            pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
+            pret_static=pret_static, start_static=start_static)
     return _viterbi_run_scan(
         y, alphabet, pretransitions, pulses, omegas, start_mask, up=up,
         pulselen=pulselen, k_syms=k_syms, pathlen=pathlen,
@@ -252,7 +276,10 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
                             jnp.sum(gat, axis=0), inf)
         return jnp.asarray(idx_np.T), metrics
 
-    if survivor_metric == "path" and pathlen > 1:
+    if (survivor_metric == "path" and pathlen > 1
+            and _viterbi_acs_viable(A, 1, pathlen)):
+        # (size-gated: the compose step materializes O(pathlen * A^3)
+        # intermediates; larger trellises take the sequential scan below)
         # The memoryless path-metric recursion is a MIN-PLUS AFFINE map per
         # symbol: m_n[p] = min_t m_{n-1}[pret[p,t]] + bm_short[n, p] (the
         # bm_full term is constant across t here, so selection reduces to
@@ -334,6 +361,154 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
         return jnp.concatenate([first[None], rest])
 
     paths = jax.vmap(trace_one)(jnp.arange(A, dtype=jnp.int32))
+    return paths, metrics
+
+
+def _code_branch_tables(y, alphabet, pulses, omegas, *, up, pulselen,
+                        k_syms, pathlen):
+    """(bm_full, bm_short) branch-metric tables over (pathlen, codes),
+    codes = (A+1)^k_syms window codes (digit 0 = pre-start silence, digit
+    a+1 = alphabet[a], oldest..newest). One vectorized pass: per-code pulse
+    synth + per-step source phases, shared by the table-driven scan and the
+    min-plus MLSE."""
+    A = alphabet.shape[0]
+    ylen = y.shape[0]
+    base = A + 1
+    codes = base ** k_syms
+    ypad = jnp.concatenate([y, jnp.zeros(pulselen + up, dtype=y.dtype)])
+    cvec = np.arange(codes)
+    digits = (cvec[:, None] // base ** np.arange(k_syms - 1, -1, -1)[None, :]
+              ) % base
+    valtable = jnp.concatenate(
+        [jnp.zeros(1, alphabet.dtype), alphabet])
+    win_syms = valtable[jnp.asarray(digits)]              # (codes, k_syms)
+    upw = jnp.zeros((codes, k_syms * up), dtype=alphabet.dtype)
+    upw = upw.at[:, ::up].set(win_syms)
+
+    def conv_code(w):
+        def one_src(pulse):
+            c = jnp.convolve(w, pulse, mode="full")
+            return jax.lax.dynamic_slice(c, ((k_syms - 1) * up,),
+                                         (pulselen,))
+        return jax.vmap(one_src)(pulses)
+    s0 = jax.vmap(conv_code)(upw)                         # (codes, L, P)
+
+    n_all = jnp.arange(pathlen, dtype=jnp.float32)
+    t_rel = jnp.arange(pulselen, dtype=jnp.float32)
+    phase = jnp.exp(-1j * omegas[None, :, None]
+                    * (n_all[:, None, None] * up + t_rel[None, None, :]))
+    S = jnp.einsum("cit,nit->nct", s0.astype(jnp.complex64),
+                   phase.astype(jnp.complex64))           # (pathlen, codes, P)
+    idx = (jnp.arange(pathlen)[:, None] * up
+           + jnp.arange(pulselen)[None, :])
+    ywin = ypad[idx]
+    valid = idx < ylen
+    d = jnp.where(valid[:, None, :], ywin[:, None, :] - S, 0.0)
+    dsq = d.real * d.real + d.imag * d.imag
+    return jnp.sum(dsq, axis=-1), jnp.sum(dsq[..., :up], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("up", "pulselen", "k_syms", "pathlen",
+                                    "pret_static", "start_static"))
+def _viterbi_run_path_acs(y, alphabet, pretransitions, pulses, omegas,
+                          start_mask, *, up, pulselen, k_syms, pathlen,
+                          pret_static, start_static):
+    """Pulse-memory (k_syms > 1) MLSE as a min-plus associative scan over
+    the (A+1)^k_syms window-state trellis.
+
+    The reference's C++ Viterbi port exists precisely for this case
+    (/root/reference/cython_ext/PyViterbiDemodulator/viterbiDemodulator.cpp
+    — per-symbol worker threads) and the round-4 general scan ran it at the
+    serial-launch-latency floor (~6 us/symbol regardless of unroll,
+    benchmarks/exp_viterbi_unroll.py). Redesign: expand the state to the
+    full pulse window code c (the branch metric depends only on (step, c) —
+    the _code_branch_tables fact), so the path-metric recursion becomes
+
+        M_n[c'] = min_c  M_{n-1}[c] + T_n[c', c],
+        T_n[c', c] = bm_short[n, c'] + (0 if c -> c' legal else inf)
+
+    — a min-plus matrix chain, evaluated in O(log N) depth via
+    ``associative_scan`` exactly like the memoryless 'path' variant.
+    Transition legality: c' = (c mod B^{k-1})*B + (p'+1) for some oldest
+    dropped digit, with the newest digit of c an allowed pretransition of
+    p'. Note this is EXACT MLSE over window states — a strict improvement
+    on the A-survivor general scan, which carries one window per alphabet
+    state (per-survivor decision feedback). Tested against a brute-force
+    window-state Viterbi (tests/test_viterbi.py).
+
+    Returns (paths (A, pathlen) int32, metrics (A,)): per final alphabet
+    state, the best window-state path ending in that symbol.
+    """
+    A = alphabet.shape[0]
+    base = A + 1
+    codes = base ** k_syms
+    inf = jnp.float32(jnp.inf)
+    bm_full, bm_short = _code_branch_tables(
+        y, alphabet, pulses, omegas, up=up, pulselen=pulselen,
+        k_syms=k_syms, pathlen=pathlen)
+    del bm_full  # path-metric selection accumulates the short branch
+
+    # ---- static transition structure (host numpy) ---------------------------
+    pret = np.asarray(pret_static, np.int32)
+    cvec = np.arange(codes)
+    tail = cvec // base                                   # c' without newest
+    candc = (np.arange(base)[None, :] * base ** (k_syms - 1)
+             + tail[:, None]).astype(np.int32)            # (codes, base)
+    dnew = cvec % base                                    # newest digit of c'
+    dq = tail % base                                      # newest digit of c
+    legal_state = np.zeros((A + 1, A + 1), bool)          # [dq, dnew]
+    for p in range(A):
+        legal_state[pret[p] + 1, p + 1] = True
+    legc = legal_state[dq[:, None], dnew[:, None]]        # (codes, 1)
+    legc = np.broadcast_to(legc, candc.shape).copy()      # same for every u
+    adjc = np.full((codes, codes), np.inf, np.float32)
+    rows = np.repeat(cvec, base)[legc.reshape(-1)]
+    cols = candc.reshape(-1)[legc.reshape(-1)]
+    adjc[rows, cols] = 0.0
+
+    # ---- init: window = silence + first symbol -> code p+1 ------------------
+    start = np.asarray(start_static, bool)
+    m0 = jnp.full((codes,), inf)
+    init_codes = np.arange(1, A + 1)
+    m0 = m0.at[jnp.asarray(init_codes)].set(
+        jnp.where(jnp.asarray(start), bm_short[0, jnp.asarray(init_codes)],
+                  inf))
+
+    mats = bm_short[1:, :, None] + jnp.asarray(adjc)[None]  # (N-1, C, C)
+
+    def compose(m1, m2):
+        return jnp.min(m2[..., :, :, None] + m1[..., None, :, :], axis=-2)
+
+    prefix = jax.lax.associative_scan(compose, mats)
+    all_m = jnp.min(prefix + m0[None, None, :], axis=-1)    # (N-1, C)
+    metrics_c = all_m[-1]
+    m_prev = jnp.concatenate([m0[None], all_m[:-1]], axis=0)
+
+    # survivor backpointers from the prefix metrics (batch gather)
+    candc_j = jnp.asarray(candc)
+    cand = jnp.where(jnp.asarray(legc)[None], m_prev[:, candc_j], inf)
+    best_u = jnp.argmin(cand, axis=-1)                      # (N-1, C)
+    bq = jnp.take_along_axis(
+        jnp.broadcast_to(candc_j, cand.shape[:1] + candc_j.shape),
+        best_u[..., None], axis=-1)[..., 0]                 # (N-1, C)
+
+    def compose_idx(g2, g1):
+        return jnp.take_along_axis(g1, g2, axis=-1)
+
+    suffix = jax.lax.associative_scan(compose_idx, bq, reverse=True)
+    codeseq = jnp.concatenate(
+        [suffix, jnp.arange(codes, dtype=bq.dtype)[None, :]], axis=0)
+    stateseq = (codeseq % base).astype(jnp.int32) - 1       # (pathlen, C)
+
+    # ---- reduce to the (A,) per-final-alphabet-state API --------------------
+    group = (np.arange(base ** (k_syms - 1))[None, :] * base
+             + (np.arange(A) + 1)[:, None]).astype(np.int32)  # (A, B^{k-1})
+    mg = metrics_c[jnp.asarray(group)]                      # (A, B^{k-1})
+    j = jnp.argmin(mg, axis=-1)
+    metrics = jnp.take_along_axis(mg, j[:, None], axis=-1)[:, 0]
+    cstar = jnp.take_along_axis(jnp.asarray(group), j[:, None], axis=-1)[:, 0]
+    paths = stateseq[:, cstar].T
     return paths, metrics
 
 

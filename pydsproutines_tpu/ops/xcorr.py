@@ -146,8 +146,11 @@ def select_xcorr_path(n: int, rx_len: int, dtype, freqsearch: bool,
       "caf"        full CAF output: batched plan FFT, no peak fusion
       "fused"      single-kernel Pallas pipeline (modulate -> 2-stage DFT ->
                    |.|^2 -> argmax all in VMEM) — the fast path
+      "fused3"     two-kernel three-stage Pallas pipeline for big composite n
+                   (e.g. 10M): stage-1 strips -> transposed bf16 HBM scratch
+                   -> per-k0 stage-2/3 + peak, no XLA inter-stage round trips
       "planes"     multi-stage bf16-planes pipeline with the fused last-stage
-                   peak kernel (big composite n, e.g. 10M)
+                   peak kernel (big composite n without a lane-exact triple)
       "peak-kernel" chunked gather + fused last-stage Pallas peak kernel
       "permuted"   chunked gather + permuted-spectrum argmax (no Pallas)
       "naive"      jnp.fft.fft fallback (non-viable plan sizes)
@@ -206,6 +209,13 @@ def select_xcorr_path(n: int, rx_len: int, dtype, freqsearch: bool,
                 reason = f"n={n} has no two-factor split (fused kernel n/a)"
         else:
             reason = "shifts are not a uniform progression"
+        if n >= (1 << 21) and fft_mode in ("bf16", "f32"):
+            # big-n three-stage fused chain: works for ANY shift list (the
+            # window slice is per-shift), needs a lane-exact factor triple
+            from pydsproutines_tpu.ops.pallas.fused_caf3 import get_caf3_plan
+            if get_caf3_plan(n, fft_mode).viable:
+                return "fused3", reason
+            reason += f"; no lane-exact factor triple for n={n}"
         if (fft_plan.viable and len(fft_plan.factors) >= 3
                 and fft_mode == "bf16" and fft_plan.peak_viable(fft_mode)):
             return "planes", reason
@@ -331,6 +341,39 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
         bins = bins.reshape(-1)[:k]
         rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
         out = (maxv / cutout_norm_sq / rx_norm_sq, bins.astype(jnp.uint32))
+        return _refine_peak_f32(*out) if refine else out
+
+    # big-n three-stage fused chain (ops/pallas/fused_caf3.py): per shift,
+    # kernel A (modulate + stage-1 strips -> transposed bf16 HBM scratch)
+    # then kernel B (per-k0 stage-2/3 + |.|^2 + argmax). ~200 MB HBM per
+    # 10M shift vs ~480 for the XLA planes path, on 128-aligned matmuls.
+    if path == "fused3":
+        from pydsproutines_tpu.ops.pallas.fused_caf3 import (caf3_peak,
+                                                             get_caf3_plan)
+        plan3 = get_caf3_plan(n, fft_mode)
+        idt = jnp.bfloat16 if plan3.mode == "bf16" else jnp.float32
+        rxr3 = jnp.real(rx).astype(idt)
+        rxi3 = jnp.imag(rx).astype(idt)
+        ccr3 = jnp.real(cutout_conj).astype(idt)
+        cci3 = jnp.imag(cutout_conj).astype(idt)
+
+        def one_shift3(s):
+            xr = jax.lax.dynamic_slice(rxr3, (s,), (n,))
+            xi = jax.lax.dynamic_slice(rxi3, (s,), (n,))
+            pk, bin_ = caf3_peak(xr, xi, ccr3, cci3, plan3,
+                                 interpret=interpret)
+            if use_cumsum:
+                return pk, bin_
+            win = jax.lax.dynamic_slice(rx, (s,), (n,))
+            return pk, bin_, jnp.sum(_abs_sq(win)).astype(rdt)
+
+        out3 = jax.lax.map(one_shift3, shifts)
+        if use_cumsum:
+            pmax, bins = out3
+            rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
+        else:
+            pmax, bins, rx_norm_sq = out3
+        out = (pmax / cutout_norm_sq / rx_norm_sq, bins)
         return _refine_peak_f32(*out) if refine else out
 
     # multi-stage plans (big composite n, e.g. 10M = 200*200*250): per-shift

@@ -132,13 +132,29 @@ class ConfigWebEditor:
     def api_config(self, file_idx: int):
         cfg = self._load(file_idx)
         sections = []
+        rejected = []
         for name in cfg.sections():
+            # validate names on LOAD too, not just on set: a hostile config
+            # file must not be able to smuggle markup/script fragments into
+            # the page through section/key names (ADVICE round-4)
+            if not _NAME_RE.match(name):
+                rejected.append(name[:128])
+                continue
+            keys = {}
+            for k, v in cfg[name].items():
+                if _NAME_RE.match(k):
+                    keys[k] = v
+                else:
+                    rejected.append(f"{name}/{k[:128]}")
             sections.append({
                 "name": name,
                 "kind": _kind_of(name),
-                "keys": {k: v for k, v in cfg[name].items()},
+                "keys": keys,
             })
-        return {"path": self.paths[int(file_idx)], "sections": sections}
+        out = {"path": self.paths[int(file_idx)], "sections": sections}
+        if rejected:
+            out["rejected_names"] = rejected
+        return out
 
     def api_set(self, file_idx: int, section: str, key: str, value: str):
         if not _NAME_RE.match(key):
@@ -230,6 +246,22 @@ class ConfigWebEditor:
 
             def do_POST(self):
                 url = urllib.parse.urlsplit(self.path)
+                # cross-origin defence (ADVICE round-4): browsers always
+                # attach Origin to cross-site POSTs — reject anything not
+                # same-origin, and require the JSON content type our own
+                # page sends (text/plain "simple request" smuggling fails)
+                origin = self.headers.get("Origin")
+                if origin is not None:
+                    ohost = urllib.parse.urlsplit(origin).netloc
+                    if ohost != self.headers.get("Host", ""):
+                        self._json({"error": "cross-origin POST rejected"},
+                                   403)
+                        return
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype.strip().lower() != "application/json":
+                    self._json({"error": "Content-Type must be "
+                                         "application/json"}, 415)
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
@@ -314,39 +346,47 @@ async function post(url,body){return j(url,{method:"POST",
 function err(e){document.getElementById("err").textContent=e||""}
 async function refresh(){
  CONF=await j("/api/config?file="+FILE);
- const d=document.getElementById("secs");d.innerHTML="";
+ const d=document.getElementById("secs");d.replaceChildren();
  for(const s of CONF.sections){
   const el=document.createElement("div");
   el.className="sec"+(CUR===s.name?" active":"");
-  el.innerHTML=s.name+'<span class="kindtag">'+s.kind+'</span>';
+  el.textContent=s.name;                       // names via textContent only
+  const tag=document.createElement("span");
+  tag.className="kindtag";tag.textContent=s.kind;el.appendChild(tag);
   el.onclick=()=>{CUR=s.name;refresh()};d.appendChild(el);}
+ if(CONF.rejected_names)err("rejected invalid names: "+
+  CONF.rejected_names.join(", "));
  render();}
+function el(tag,...kids){const e=document.createElement(tag);
+ for(const k of kids){e.append(k)}return e}
 function render(){
  const s=CONF.sections.find(x=>x.name===CUR);
  document.getElementById("title").textContent=CUR||"select a section";
- const d=document.getElementById("detail");d.innerHTML="";
+ const d=document.getElementById("detail");d.replaceChildren();
  if(!s)return;
  const known=SCHEMA.schemas[s.kind]||{};
  const tbl=document.createElement("table");
- tbl.innerHTML="<tr><th>key</th><th>value</th><th>type</th><th></th></tr>";
+ tbl.appendChild(el("tr",el("th","key"),el("th","value"),el("th","type"),
+  el("th","")));
  const keys=new Set([...Object.keys(known),...Object.keys(s.keys)]);
  for(const k of keys){
-  const tr=document.createElement("tr");
-  const v=s.keys[k]??"";
-  tr.innerHTML='<td>'+k+'</td>'+
-   '<td><input value="'+String(v).replace(/"/g,"&quot;")+'" id="v_'+k+
-   '" onchange="setKey(\''+k+'\')"></td>'+
-   '<td>'+(known[k]||"str")+'</td>'+
-   '<td><button class="danger" onclick="delKey(\''+k+'\')">x</button></td>';
-  tbl.appendChild(tr);}
+  const inp=document.createElement("input");
+  inp.value=String(s.keys[k]??"");
+  inp.onchange=()=>setKey(k,inp);
+  const del=document.createElement("button");
+  del.className="danger";del.textContent="x";del.onclick=()=>delKey(k);
+  tbl.appendChild(el("tr",el("td",k),el("td",inp),
+   el("td",known[k]||"str"),el("td",del)));}
  d.appendChild(tbl);
- const add=document.createElement("div");
- add.innerHTML='<h2>Add key</h2><input id="nk" placeholder="key">'+
-  ' <input id="nv" placeholder="value">'+
-  ' <button onclick="addKey()">Set</button>'+
-  ' <button class="danger" onclick="delSection()">Delete section</button>';
- d.appendChild(add);}
-async function setKey(k){const v=document.getElementById("v_"+k).value;
+ const h=el("h2","Add key");
+ const nk=document.createElement("input");nk.id="nk";nk.placeholder="key";
+ const nv=document.createElement("input");nv.id="nv";nv.placeholder="value";
+ const set=document.createElement("button");set.textContent="Set";
+ set.onclick=()=>addKey();
+ const ds=document.createElement("button");ds.className="danger";
+ ds.textContent="Delete section";ds.onclick=()=>delSection();
+ d.appendChild(el("div",h,nk," ",nv," ",set," ",ds));}
+async function setKey(k,inp){const v=inp.value;
  const r=await post("/api/set",{file:FILE,section:CUR,key:k,value:v});
  err(r.error);refresh()}
 async function addKey(){const k=document.getElementById("nk").value,

@@ -179,3 +179,49 @@ def test_concurrent_sets_all_land(served):
     cfg = DSPConfig(path)
     for i in range(n):
         assert cfg.get_src("usrpA").get(f"tag{i}") == str(i)
+
+
+def test_hostile_names_rejected_on_load(served, tmp_path):
+    """ADVICE round-4: section/key names from an existing INI must be
+    validated on load — markup fragments never reach the page payload."""
+    path, base = served
+    with open(path, "a") as f:
+        f.write("\n[src_evil<script>alert(1)</script>]\nok = 1\n"
+                "\n[src_good]\nbad<img> = 2\nfine = 3\n")
+    cfg = _get(base, "/api/config?file=0")
+    names = [s["name"] for s in cfg["sections"]]
+    assert all("<" not in n for n in names)
+    good = next(s for s in cfg["sections"] if s["name"] == "src_good")
+    assert "fine" in good["keys"] and not any("<" in k for k in good["keys"])
+    assert any("script" in r for r in cfg["rejected_names"])
+
+
+def test_cross_origin_post_rejected(served):
+    """ADVICE round-4: a cross-origin page must not be able to rewrite
+    configs via a forged POST; non-JSON content types are refused too."""
+    _, base = served
+    body = {"file": 0, "section": "src_usrpA", "key": "fs", "value": "1"}
+    req = urllib.request.Request(
+        base + "/api/set", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json",
+                 "Origin": "http://evil.example"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 403
+
+    req = urllib.request.Request(
+        base + "/api/set", data=json.dumps(body).encode(),
+        headers={"Content-Type": "text/plain"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 415
+
+    # same-origin JSON posts still work
+    obj, code = _post(base, "/api/set", body)
+    assert code == 200 and obj.get("ok")

@@ -342,3 +342,55 @@ def test_checkpointed_xcorr_pipeline(tmp_path):
     assert full.run(rxj) == 0
     shift, qf2v, _ = full.peak()
     assert shift == 900 and qf2v > 0.5
+
+
+def test_split_high_amp_subfolders(tmp_path):
+    """Reference splitHighAmpSubfolders semantics (usrpRoutines.py:450):
+    amplitude detection, buffered group expansion, gap splitting,
+    subfolder copies, and the database variant."""
+    src = tmp_path / "cap"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(10):
+        t = 2000 + i
+        data = (rng.integers(-50, 50, 32)
+                + 1j * rng.integers(-50, 50, 32)).astype(np.complex64)
+        if i in (3, 8):  # loud files
+            data[5] = 30000 + 0j
+        _write_capture(os.path.join(str(src), f"{t}.bin"), data)
+
+    sr = SortedFolderReader(str(src), 32)
+    times = sr.split_high_amp_subfolders(str(tmp_path / "out"), min_amp=1e3,
+                                         only_extract_times=True)
+    assert times == [2002, 2003, 2004, 2007, 2008, 2009]
+
+    groups = sr.split_high_amp_subfolders(str(tmp_path / "out"), min_amp=1e3,
+                                          only_extract_groups=True)
+    assert groups == [[2002, 2003, 2004], [2007, 2008, 2009]]
+
+    out = tmp_path / "out"
+    ret = sr.split_high_amp_subfolders(str(out), min_amp=1e3)
+    assert ret == times
+    assert sorted(os.listdir(out)) == ["000000", "000001"]
+    assert sorted(os.listdir(out / "000000")) == ["2002.bin", "2003.bin",
+                                                  "2004.bin"]
+    assert sorted(os.listdir(out / "000001")) == ["2007.bin", "2008.bin",
+                                                  "2009.bin"]
+    # copied bytes identical
+    a = open(src / "2003.bin", "rb").read()
+    b = open(out / "000000" / "2003.bin", "rb").read()
+    assert a == b
+
+    # database variant records [start, end] per group, no copies
+    dbdir = tmp_path / "dbout"
+    sr.split_high_amp_subfolders(str(dbdir), select_times=times,
+                                 use_database=True)
+    from pydsproutines_tpu.io.binfiles import GroupDatabase
+    gd = GroupDatabase(str(dbdir / "groups.db"))
+    rows = gd.get_all_groups("groups")
+    assert rows == [(0, 2002, 2004), (1, 2007, 2009)]
+
+    # empty selection raises (reference IndexError)
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        sr.split_high_amp_subfolders(str(out), min_amp=1e9)

@@ -254,3 +254,138 @@ def test_static_tables_path_matches_scan(rng):
             up=up, pulselen=up, k_syms=1, pathlen=pathlen)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-5)
         assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def _np_window_mlse(alphabet, pre, pulses, omegas, up, y, pathlen,
+                    allowed_start=(0,)):
+    """Brute-force exact MLSE over the (A+1)^k window-state trellis:
+    the independent oracle for _viterbi_run_path_acs."""
+    A = len(alphabet)
+    base = A + 1
+    pulselen = pulses.shape[1]
+    k = pulselen // up
+    codes = base ** k
+
+    def bm_short(n, c):
+        digs = [(c // base ** (k - 1 - i)) % base for i in range(k)]
+        w = np.array([0 if d == 0 else alphabet[d - 1] for d in digs])
+        ups = np.zeros(k * up, complex)
+        ups[::up] = w
+        seg = np.zeros(pulselen, complex)
+        for i in range(pulses.shape[0]):
+            cv = np.convolve(ups, pulses[i])
+            s = cv[(k - 1) * up: (k - 1) * up + pulselen]
+            t = n * up + np.arange(pulselen)
+            seg += s * np.exp(-1j * omegas[i] * t)
+        yseg = np.zeros(pulselen, complex)
+        avail = y[n * up: n * up + pulselen]
+        yseg[: len(avail)] = avail
+        valid = (n * up + np.arange(pulselen)) < len(y)
+        d = np.where(valid, yseg - seg, 0)
+        return np.sum(np.abs(d[:up]) ** 2)
+
+    hist = np.full((pathlen, codes), np.inf)
+    back = np.zeros((pathlen, codes), np.int32)
+    for a in allowed_start:
+        hist[0, a + 1] = bm_short(0, a + 1)
+    for n in range(1, pathlen):
+        for cp in range(codes):
+            dnew = cp % base
+            if dnew == 0:
+                continue
+            p = dnew - 1
+            tailc = cp // base
+            dq = tailc % base
+            if dq == 0 or (dq - 1) not in pre[p]:
+                continue
+            best, barg = np.inf, 0
+            for u in range(base):
+                c = u * base ** (k - 1) + tailc
+                if hist[n - 1, c] < best:
+                    best, barg = hist[n - 1, c], c
+            if best < np.inf:
+                hist[n, cp] = best + bm_short(n, cp)
+                back[n, cp] = barg
+    # reduce per final alphabet state + backtrack state sequences
+    metrics = np.full(A, np.inf)
+    paths = np.zeros((A, pathlen), np.int32)
+    for p in range(A):
+        group = [v * base + (p + 1) for v in range(base ** (k - 1))]
+        j = int(np.argmin(hist[-1, group]))
+        metrics[p] = hist[-1, group[j]]
+        c = group[j]
+        for m in range(pathlen - 1, -1, -1):
+            paths[p, m] = (c % base) - 1
+            c = back[m, c]
+    return paths, metrics
+
+
+def test_path_acs_pulse_memory_matches_bruteforce_mlse(rng):
+    """k_syms=2 min-plus associative-scan MLSE vs an independent
+    brute-force window-state Viterbi: exact metric + path parity."""
+    alphabet, pre, pulses, omegas, up = _make_cpm_setup()  # k_syms = 2
+    pathlen = 14
+    nsamps = pathlen * up + len(pulses[0])
+    # walk FORWARD through transitions: state n must have state n-1 in its
+    # pretransitions, so build by picking successors
+    true_states = [0]
+    for _ in range(pathlen - 1):
+        prev = true_states[-1]
+        succ = [p for p in range(len(alphabet)) if prev in pre[p]]
+        true_states.append(int(succ[rng.integers(0, len(succ))]))
+    y = _synthesize(alphabet[true_states], pulses, omegas, up, nsamps)
+    y += 0.1 * (rng.standard_normal(nsamps) + 1j * rng.standard_normal(nsamps))
+    y = y.astype(np.complex64)
+
+    ref_paths, ref_metrics = _np_window_mlse(
+        alphabet, pre, pulses, omegas, up, y, pathlen)
+
+    vd = ViterbiDemodulator(alphabet, pre, pulses, omegas, up,
+                            survivor_metric="path")
+    from pydsproutines_tpu.ops.viterbi import _viterbi_acs_viable
+    assert _viterbi_acs_viable(len(alphabet), 2, pathlen)
+    best_vals, metrics, all_vals = vd.run(jnp.asarray(y), pathlen)
+
+    finite = np.isfinite(ref_metrics)
+    np.testing.assert_allclose(np.asarray(metrics)[finite],
+                               ref_metrics[finite], rtol=2e-4)
+    assert np.all(np.isinf(np.asarray(metrics)[~finite]))
+    best = int(np.argmin(ref_metrics))
+    np.testing.assert_allclose(
+        np.asarray(best_vals), alphabet[ref_paths[best]].astype(np.complex64),
+        rtol=1e-5)
+
+
+def test_path_acs_pulse_memory_recovers_clean_path(rng):
+    """High-SNR behavioral check: the k_syms=2 ACS decodes the transmitted
+    sequence (and therefore agrees with the sequential scan demod)."""
+    alphabet, pre, pulses, omegas, up = _make_cpm_setup()
+    pathlen = 40
+    true_states = [0]
+    for _ in range(pathlen - 1):
+        prev = true_states[-1]
+        succ = [p for p in range(len(alphabet)) if prev in pre[p]]
+        true_states.append(int(succ[rng.integers(0, len(succ))]))
+    nsamps = pathlen * up + len(pulses[0])
+    y = _synthesize(alphabet[true_states], pulses, omegas, up, nsamps)
+    y += 0.02 * (rng.standard_normal(nsamps)
+                 + 1j * rng.standard_normal(nsamps))
+    y = y.astype(np.complex64)
+
+    vd = ViterbiDemodulator(alphabet, pre, pulses, omegas, up,
+                            survivor_metric="path")
+    best_vals, metrics, _ = vd.run(jnp.asarray(y), pathlen)
+    np.testing.assert_allclose(np.asarray(best_vals),
+                               alphabet[true_states].astype(np.complex64),
+                               atol=1e-4)
+
+
+def test_path_acs_size_gate_falls_back_to_scan():
+    """ADVICE round-4: the associative-scan routes must be size-gated."""
+    from pydsproutines_tpu.ops.viterbi import (_ACS_MAX_ELEMS,
+                                               _ACS_MAX_STATES,
+                                               _viterbi_acs_viable)
+    assert _viterbi_acs_viable(2, 2, 512)
+    assert not _viterbi_acs_viable(2, 8, 512)       # 6561 states
+    assert not _viterbi_acs_viable(127, 1, 10 ** 6)  # elems blow-up
+    assert not _viterbi_acs_viable(200, 1, 4)       # state cap

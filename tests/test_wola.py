@@ -177,3 +177,30 @@ def test_wola_fused_flat_kernel_parity(rng):
                               np.asarray(o2_re).reshape(-1)), rows
         assert np.array_equal(np.asarray(f_im),
                               np.asarray(o2_im).reshape(-1)), rows
+
+
+def test_wola_fused_direct_kernel_parity(rng):
+    """Round-5 plane-direct fused kernel (n in {128, 256}, interpret mode)
+    matches wola() across tail shapes, incl. flat-plane I/O byte parity."""
+    from pydsproutines_tpu.ops.pallas.wola_fused import (
+        wola_fused, wola_fused_planes_flat, wola_fused_viable)
+
+    for nch, B in ((128, 16), (256, 8)):
+        h = np.hanning(nch * B).astype(np.float32)
+        assert wola_fused_viable(nch, nch, nch * B, 4096, np.complex64)
+        for rows in (301, 2100):
+            x = (rng.standard_normal(rows * nch)
+                 + 1j * rng.standard_normal(rows * nch)).astype(np.complex64)
+            ref = np.asarray(wola(jnp.asarray(h), jnp.asarray(x), nch, nch))
+            got = np.asarray(wola_fused(jnp.asarray(h), jnp.asarray(x),
+                                        nch, nch, interpret=True))
+            err = np.max(np.abs(ref - got)) / np.max(np.abs(ref))
+            assert got.shape == ref.shape
+            assert err < 1e-5, (nch, rows, err)
+        # flat-plane surface: same bytes as the complex API
+        fr, fi = wola_fused_planes_flat(
+            jnp.asarray(h), jnp.real(jnp.asarray(x)).astype(jnp.float32),
+            jnp.imag(jnp.asarray(x)).astype(jnp.float32), nch, nch,
+            interpret=True)
+        flat = np.asarray(fr) + 1j * np.asarray(fi)
+        assert np.array_equal(flat.reshape(ref.shape), got)

@@ -231,9 +231,18 @@ class TestPathSelection:
         path, reason = self._sel(1_000_000, 1_001_000)
         assert path == "fused" and reason == ""
 
-    def test_planes_for_multistage_sizes(self):
+    def test_fused3_for_multistage_sizes(self):
+        # round 5: big composite n with a lane-exact triple (10M =
+        # 125*125*640) routes to the three-stage fused chain
         path, reason = self._sel(10_000_000, 10_001_000)
+        assert path == "fused3"
+
+    def test_planes_when_no_lane_exact_triple(self):
+        # 5^10 has no divisor that is a multiple of 128 -> no fused3
+        # triple; the multi-stage XLA planes path remains the fallback
+        path, reason = self._sel(5 ** 10, 5 ** 10 + 1000)
         assert path == "planes"
+        assert "triple" in reason
 
     def test_halo_fallback_warns_with_remedy(self):
         # batch*step halo exceeding n2 silently disqualified the fused plan
