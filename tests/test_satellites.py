@@ -164,11 +164,11 @@ def test_sgp4_drag_term_active():
     assert offs[1] > 20 * offs[0]                     # superlinear growth
 
 
-def test_satellite_routes_leo_to_sgp4_and_geo_to_j2():
+def test_satellite_routes_leo_to_sgp4_and_geo_to_sdp4():
     leo = Satellite(ISS_L1, ISS_L2)
     assert leo.backend == "native-sgp4"
     geo = Satellite(K7_L1, K7_L2)
-    assert geo.backend == "native-j2"                 # deep-space fallback
+    assert geo.backend == "native-sdp4"               # round 5: real SDP4
     # full wrapper chain still works through the SGP4 backend
     gc = sf_propagate_satellite_to_gpstime(leo, 1575806000.0)
     ecef = sf_geocentric_to_itrs(gc)
@@ -192,8 +192,75 @@ def test_sgp4_vs_j2_agree_near_epoch():
     assert err.max() > 1e-3                           # but not same model
 
 
-def test_sgp4_deep_space_raises():
-    from pydsproutines_tpu.estimation.satellites import (DeepSpaceTLE,
+# classic Spacetrack Report #3 deep-space (SDP4) test satellite: highly
+# eccentric 10.5 h orbit exercising the lunisolar secular + periodic terms
+SDP_L1 = "1 11801U          80230.29629788  .01431103  00000-0  14311-3      13"
+SDP_L2 = "2 11801  46.7916 230.4354 7318036  47.4722  10.4117  2.28537848    13"
+
+
+def test_sdp4_epoch_matches_published_check_state():
+    """SDP4 at epoch vs the published deep-space verification state for
+    satellite 11801 (r = [7473.371, 428.947, 5828.748] km): the full
+    lunisolar periodic machinery (dscom + dpper) feeds this value — a
+    sub-10 m agreement pins every coefficient."""
+    from pydsproutines_tpu.estimation.satellites import SGP4Propagator
+    p = SGP4Propagator(parse_tle(SDP_L1, SDP_L2, validate_checksum=False),
+                       WGS72)
+    assert p.deep
+    r, v = p.teme_posvel_tsince(np.array([0.0]))
+    assert np.linalg.norm(
+        r[0] - np.array([7473.371, 428.947, 5828.748])) < 0.01   # km
+    assert np.linalg.norm(
+        v[0] - np.array([5.107155, 6.444680, -0.186133])) < 1e-4
+
+
+def test_sdp4_geo_resonance_stays_bounded():
+    """24 h geosynchronous resonance (irez=1): the integrated mean motion
+    must keep the orbit at GEO radius (~42164 km) for a month, with the
+    resonance libration bounded (a free-running error integrator diverges
+    visibly at this horizon)."""
+    from pydsproutines_tpu.estimation.satellites import SGP4Propagator
+    p = SGP4Propagator(parse_tle(K7_L1, K7_L2), WGS72)
+    assert p.deep and p.ds["irez"] == 1
+    t = np.linspace(0.0, 30 * 1440.0, 200)
+    r, v = p.teme_posvel_tsince(t)
+    rad = np.linalg.norm(r, axis=1)
+    assert np.all(np.isfinite(rad))
+    assert np.all(np.abs(rad - 42164.0) < 100.0)
+    speed = np.linalg.norm(v, axis=1)
+    assert np.all(np.abs(speed - 3.0747) < 0.02)      # km/s circular GEO
+
+
+def test_sdp4_molniya_resonance_band():
+    """12 h eccentric resonance (irez=2): a Molniya TLE must engage the
+    d-coefficient integrator and keep apogee/perigee physical over a
+    week."""
+    from pydsproutines_tpu.estimation.satellites import SGP4Propagator
+    # real Molniya 1-91 geometry: i=63.2 deg, e=0.72, 2.006 rev/day
+    l1 = "1 25485U 98054A   23217.00000000  .00000000  00000-0  00000-0 0  9990"
+    l2 = "2 25485  63.2000 280.0000 7200000 270.0000  20.0000  2.00600000    10"
+    p = SGP4Propagator(parse_tle(l1, l2, validate_checksum=False), WGS72)
+    assert p.deep and p.ds["irez"] == 2
+    t = np.linspace(0.0, 7 * 1440.0, 300)
+    r, _ = p.teme_posvel_tsince(t)
+    rad = np.linalg.norm(r, axis=1)
+    assert np.all(np.isfinite(rad))
+    assert rad.min() > 6378.0 + 400.0                 # perigee above ground
+    assert 38000.0 < rad.max() < 48000.0              # Molniya apogee band
+
+
+def test_sdp4_lunisolar_secular_differs_from_j2():
+    """The deep-space secular terms must actually act: over 10 days a GEO
+    orbit's SDP4 path deviates km-scale from the J2-only propagation (and
+    the deviation is smooth, not integrator noise)."""
+    from pydsproutines_tpu.estimation.satellites import (J2Propagator,
                                                          SGP4Propagator)
-    with pytest.raises(DeepSpaceTLE):
-        SGP4Propagator(parse_tle(K7_L1, K7_L2), WGS72)
+    tle = parse_tle(K7_L1, K7_L2)
+    ps = SGP4Propagator(tle, WGS72)
+    pj = J2Propagator(tle, WGS72)
+    t_unix = tle.epoch_unix + np.linspace(0, 10 * 86400.0, 50)
+    rs, _ = ps.teme_posvel(t_unix)
+    rj, _ = pj.teme_posvel(t_unix)
+    d = np.linalg.norm(rs - rj, axis=1)
+    assert d[-1] > 1.0                                # lunisolar terms act
+    assert d.max() < 2000.0                           # but stay physical
