@@ -536,6 +536,42 @@ def bench_cpm_viterbi_k2(B=64, nsyms=512, up=8):
     return B * nsyms / dt / 1e6, dt
 
 
+def bench_receiver_e2e(n_rows=131072, nch=64):
+    """Aggregate end-to-end pipeline throughput (VERDICT round-4 item 8):
+    wideband block -> WOLA channelize -> channel select -> freq-scan xcorr
+    -> CAF peak -> demod, all in the ONE jitted WidebandReceiver.step.
+    The BASELINE north star is aggregate pipeline rate, not isolated ops;
+    this metric is the composed-chain number (dominated by the channelize
+    at this geometry — the xcorr/demod stages run on one channel)."""
+    import jax
+    import jax.numpy as jnp
+    from pydsproutines_tpu.models.receiver import WidebandReceiver
+
+    rxv = WidebandReceiver(num_channels=nch, num_taps=8 * nch,
+                           template_len=1024, num_shifts=256, osr=4,
+                           demod_syms=128, m=4)
+    n_wide = n_rows * nch
+    rng = np.random.default_rng(11)
+    t_ri, _ = rxv.example_inputs(seed=1)
+    t_ri = np.asarray(t_ri, dtype=np.float32)
+    rx_ri = rng.standard_normal((2, n_wide), dtype=np.float32) * 0.1
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step(tri, xri, salt, n_reps):
+        def body(acc, i):
+            x2 = xri * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i))
+            qf2, ipeak, fbin, energy, syms = rxv.step(tri, x2)
+            return acc + qf2 + energy[0] + syms[0].astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(n_reps, dtype=jnp.float32))
+        return acc
+
+    d_t = jax.device_put(jnp.asarray(t_ri))
+    d_rx = jax.device_put(jnp.asarray(rx_ri))
+    dt = rep_differenced(step, d_t, d_rx, max_r_hi=32)
+    return n_wide / dt / 1e9, dt  # wideband GS/s through the full chain
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
 
@@ -601,6 +637,15 @@ def main():
             emit("cp2fsk_viterbi_branch_tables_64x512", rate, "Msymbols/s",
                  cpu, dt)
         guard("viterbi", _vit)
+
+    if only in (None, "receiver"):
+        def _rx():
+            rate, dt = bench_receiver_e2e()
+            # baseline: the reference has no single-program equivalent; the
+            # derived aggregate anchor is its best GPU xcorr rate 0.43 Gss/s
+            # (BASELINE.md) — vs_baseline compares wideband GS/s to that
+            emit("wideband_receiver_e2e_8M", rate, "GS/s", 0.43, dt)
+        guard("receiver", _rx)
 
 
 if __name__ == "__main__":

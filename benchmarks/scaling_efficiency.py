@@ -142,6 +142,33 @@ t_wola = timed("sharded_wola", lambda: sharded_wola(
     jnp.asarray(f_tap), gx, dec, nch, mesh, "dsp"))
 t_caf = timed("sharded_caf_peak", lambda: sharded_caf_peak(
     g_cut, g_rx, gshifts, mesh, "dsp", batch_size=64))
+
+# per-phase breakdown (VERDICT round-4 item 7): the same local compute WITHOUT
+# shard_map/collectives, on this process's own shard, under the same barrier
+# discipline. total - local = collective + halo + launch-skew overhead.
+from pydsproutines_tpu.ops.wola import wola as wola_single
+from pydsproutines_tpu.ops.xcorr import _fast_xcorr_impl
+
+local_shifts = jnp.asarray(
+    shifts[proc * shifts_local:(proc + 1) * shifts_local])
+j_rx = jnp.asarray(rx)
+j_cut = jnp.asarray(cut)
+j_x = jnp.asarray(x_local)
+j_tap = jnp.asarray(f_tap)
+
+
+def local_caf():
+    qf2, freqs = _fast_xcorr_impl(
+        j_cut, j_rx, local_shifts, n=cutlen, freqsearch=True,
+        output_caf=False, abs_result=True,
+        batch_size=min(64, shifts_local), step=1)
+    i = jnp.argmax(qf2)
+    return qf2[i], freqs[i]
+
+
+t_caf_c = timed("caf_peak_local_compute", local_caf)
+t_wola_c = timed("wola_local_compute",
+                 lambda: wola_single(j_tap, j_x, dec, nch))
 sink.close()
 
 snapshot = None
@@ -149,7 +176,7 @@ if proc == 0:
     from pydsproutines_tpu.parallel.multihost import cluster_progress
     snapshot = cluster_progress(cfg["hbdir"], timeout=600.0, expected=nproc)
 res = dict(proc=proc, nproc=nproc, t_wola=t_wola, t_caf=t_caf,
-           cluster=snapshot)
+           t_wola_c=t_wola_c, t_caf_c=t_caf_c, cluster=snapshot)
 with open(os.path.join(cfg["outdir"], "scal_%s_%d_%d.json"
           % (cfg["mode"], nproc, proc)), "w") as f:
     json.dump(res, f)
@@ -212,6 +239,8 @@ def run_cluster(nproc: int, mode: str, cfg_base: dict, outdir: Path,
         outdir / f"metrics_{nproc}_{i}_{mode}.jsonl"))
     return {"t_wola": max(r["t_wola"] for r in results),
             "t_caf": max(r["t_caf"] for r in results),
+            "t_wola_c": max(r["t_wola_c"] for r in results),
+            "t_caf_c": max(r["t_caf_c"] for r in results),
             "oversubscribed": oversub,
             "cores_per_proc": cores_per_proc,
             "metrics_records": nrec,
@@ -263,6 +292,13 @@ def main(argv=None):
                 entry = {}
                 for n, r in times.items():
                     entry[f"t_{n}proc_s"] = round(r[wl], 4)
+                    # per-phase split (VERDICT round-4 item 7): local
+                    # compute re-timed without shard_map/collectives;
+                    # the remainder is collective + halo + launch skew
+                    tc = r[wl + "_c"]
+                    entry[f"t_{n}proc_local_compute_s"] = round(tc, 4)
+                    entry[f"collective_overhead_{n}proc_pct"] = round(
+                        100.0 * max(0.0, r[wl] - tc) / r[wl], 1)
                     if r["oversubscribed"]:
                         entry[f"oversubscribed_{n}proc"] = True
                 for n in sorted(times):

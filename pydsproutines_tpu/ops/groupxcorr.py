@@ -102,12 +102,20 @@ class GroupXcorrCZT:
             import ml_dtypes
             bf16 = np.dtype(ml_dtypes.bfloat16)
             t = self.plan.tones[None, :, :] * self.group_phases[:, None, :]
+            # round-5 tone-dot folding: the template joins the bank too
+            # (ystack is ALREADY conjugated by _stack_groups), so the chunk
+            # pipeline is one (B, G*m) @ (G*m, k) matmul
+            # (group_caf_tonedot); zero-padded ystack rows mask short
+            # groups exactly as the product formulation did
+            tf = (self.ystack[:, :, None] * t).reshape(g * m, k)
             self._fused_cache[key] = dict(
                 g=g, m=m, k=k, batch=batch, step=step,
                 starts=self.starts.astype(np.int32),
                 yst_re=self.ystack.real.astype(np.float32),
                 yst_im=self.ystack.imag.astype(np.float32),
-                t_re=t.real.astype(bf16), t_im=t.imag.astype(bf16))
+                t_re=t.real.astype(bf16), t_im=t.imag.astype(bf16),
+                tf_re=tf.real.astype(bf16), tf_im=tf.imag.astype(bf16),
+                tf_s=(tf.real + tf.imag).astype(bf16))
         return self._fused_cache[key]
 
     def xcorr(self, rx: jnp.ndarray, shifts=None, batch_size: int = 32,
@@ -202,11 +210,16 @@ class GroupXcorrCZT:
             fn = self._fns.setdefault((bs, step), jax.jit(_impl))
         return fn(rx, shifts), self.czt_freq
 
-    def _xcorr_fused(self, rx, shifts, consts: dict):
-        key = ("fused", consts["batch"], consts["step"], int(shifts.shape[0]))
+    def _xcorr_fused(self, rx, shifts, consts: dict,
+                     formulation: str = "tonedot"):
+        key = ("fused", consts["batch"], consts["step"], int(shifts.shape[0]),
+               formulation)
         fn = self._fns.get(key)
         if fn is None:
-            from pydsproutines_tpu.ops.pallas.group_caf import fused_group_caf
+            from pydsproutines_tpu.ops.pallas.group_caf import (
+                fused_group_caf, group_caf_tonedot)
+            caf = (group_caf_tonedot if formulation == "tonedot"
+                   else fused_group_caf)
             starts = self.starts.astype(np.int64)
             lengths = self.lengths.astype(np.int64)
             ynormsq = self.ystack_norm_sq
@@ -217,8 +230,8 @@ class GroupXcorrCZT:
             interp = jax.devices()[0].platform not in ("tpu",)
 
             def _impl(rx, shifts):
-                out_re, out_im = fused_group_caf(rx, shifts[0], nchunks,
-                                                 consts, interpret=interp)
+                out_re, out_im = caf(rx, shifts[0], nchunks,
+                                     consts, interpret=interp)
                 mag = (out_re * out_re + out_im * out_im).reshape(-1, k)
                 mag = mag[:nshifts]
                 power = jnp.concatenate([

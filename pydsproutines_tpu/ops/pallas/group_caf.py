@@ -120,6 +120,63 @@ def _group_caf_pallas(wins_re, wins_im, yst_re, yst_im, t_re, t_im, *,
     )(wins_re, wins_im, yst_re, yst_im, t_re, t_im)
 
 
+def group_caf_tonedot(rx, shift0: int, nchunks: int, plan_consts: dict,
+                      interpret: bool = False):
+    """Round-5 tone-dot formulation of the fused group CAF: the conjugated
+    template AND the per-group phases fold into the tone banks on the host
+    (Tf[g, t, f] = conj(y_g[t]) * tones[t, f] * phase[g, f]), so the whole
+    per-chunk pipeline is ONE bf16 Karatsuba matmul
+
+        C[b, f] = X[b, :] @ Tfold,  X[b] = concat_g rx[s_b + start_g : + m]
+
+    with no per-shift roll loop at all (the v1 Pallas kernel's 1-row
+    pltpu.roll build ran at 1/8 sublane occupancy and serialized B*G
+    iterations — ROADMAP round-4: 'roll/VPU-bound'). The X gather is B
+    static slices of the per-group chunk windows, built directly in bf16.
+    Same outputs as fused_group_caf ((nchunks, B, k) planes).
+    """
+    del interpret
+    g = plan_consts["g"]
+    m = plan_consts["m"]
+    k = plan_consts["k"]
+    batch = plan_consts["batch"]
+    step = plan_consts["step"]
+    starts = plan_consts["starts"]
+    halo = (batch - 1) * step
+    span_per = m + halo
+
+    tr = jnp.asarray(plan_consts["tf_re"])        # (G*m, k) bf16
+    ti = jnp.asarray(plan_consts["tf_im"])
+    ts = jnp.asarray(plan_consts["tf_s"])         # Karatsuba sum plane
+    rre = jnp.real(rx).astype(jnp.bfloat16)
+    rim = jnp.imag(rx).astype(jnp.bfloat16)
+
+    mm = functools.partial(jnp.matmul,
+                           preferred_element_type=jnp.float32)
+
+    def one_chunk(ci):
+        base = shift0 + ci * batch * step
+
+        def rows(plane):
+            wins = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                plane, (base + s,), (span_per,)))(jnp.asarray(starts))
+            return jnp.stack([
+                jax.lax.slice(wins, (0, i * step), (g, i * step + m))
+                for i in range(batch)]).reshape(batch, g * m)
+
+        xr = rows(rre)
+        xi = rows(rim)
+        xs = (xr.astype(jnp.float32)
+              + xi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a = mm(xr, tr)
+        b = mm(xi, ti)
+        s = mm(xs, ts)
+        return a - b, s - a - b                   # (B, k) re/im planes
+
+    out = jax.lax.map(one_chunk, jnp.arange(nchunks))
+    return out[0], out[1]
+
+
 def fused_group_caf(rx, shift0: int, nchunks: int, plan_consts: dict,
                     interpret: bool = False):
     """Complex CAF rows for shifts ``shift0 + step*i`` over nchunks chunks of

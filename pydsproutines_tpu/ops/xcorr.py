@@ -209,9 +209,11 @@ def select_xcorr_path(n: int, rx_len: int, dtype, freqsearch: bool,
                 reason = f"n={n} has no two-factor split (fused kernel n/a)"
         else:
             reason = "shifts are not a uniform progression"
-        if n >= (1 << 21) and fft_mode in ("bf16", "f32"):
-            # big-n three-stage fused chain: works for ANY shift list (the
-            # window slice is per-shift), needs a lane-exact factor triple
+        if (n >= (1 << 21) and fft_mode in ("bf16", "f32")
+                and step is not None):
+            # big-n three-stage fused chain: uniform-step sweeps only (the
+            # per-shift window is an in-kernel lane roll of one chunk
+            # slice), needs a lane-exact factor triple
             from pydsproutines_tpu.ops.pallas.fused_caf3 import get_caf3_plan
             if get_caf3_plan(n, fft_mode).viable:
                 return "fused3", reason
@@ -348,31 +350,37 @@ def _fast_xcorr_impl(cutout, rx, shifts, *, n, freqsearch, output_caf,
     # then kernel B (per-k0 stage-2/3 + |.|^2 + argmax). ~200 MB HBM per
     # 10M shift vs ~480 for the XLA planes path, on 128-aligned matmuls.
     if path == "fused3":
-        from pydsproutines_tpu.ops.pallas.fused_caf3 import (caf3_peak,
-                                                             get_caf3_plan)
+        from pydsproutines_tpu.ops.pallas.fused_caf3 import (
+            caf3_chunk_size, caf3_sweep, get_caf3_plan)
         plan3 = get_caf3_plan(n, fft_mode)
         idt = jnp.bfloat16 if plan3.mode == "bf16" else jnp.float32
-        rxr3 = jnp.real(rx).astype(idt)
-        rxi3 = jnp.imag(rx).astype(idt)
+        k = shifts.shape[0]
+        bc = min(caf3_chunk_size(plan3, step), k)
+        nchunks = -(-k // bc)
+        # one dynamic slice per bc-shift chunk; pad rx to cover the last
+        # chunk's span (chunk windows + f2-lane roll halo)
+        need = (nchunks * bc - 1) * step + n + plan3.f2 + 8
+        rxr3 = jnp.pad(jnp.real(rx).astype(idt),
+                       (0, max(0, need - int(rx.shape[-1]))))
+        rxi3 = jnp.pad(jnp.imag(rx).astype(idt),
+                       (0, max(0, need - int(rx.shape[-1]))))
         ccr3 = jnp.real(cutout_conj).astype(idt)
         cci3 = jnp.imag(cutout_conj).astype(idt)
 
-        def one_shift3(s):
-            xr = jax.lax.dynamic_slice(rxr3, (s,), (n,))
-            xi = jax.lax.dynamic_slice(rxi3, (s,), (n,))
-            pk, bin_ = caf3_peak(xr, xi, ccr3, cci3, plan3,
-                                 interpret=interpret)
-            if use_cumsum:
-                return pk, bin_
-            win = jax.lax.dynamic_slice(rx, (s,), (n,))
-            return pk, bin_, jnp.sum(_abs_sq(win)).astype(rdt)
+        def one_chunk(ci):
+            return caf3_sweep(rxr3, rxi3, ccr3, cci3,
+                              shifts[0] + ci * (bc * step), bc, step,
+                              plan3, interpret=interpret)
 
-        out3 = jax.lax.map(one_shift3, shifts)
+        pmax, bins = jax.lax.map(one_chunk, jnp.arange(nchunks))
+        pmax = pmax.reshape(-1)[:k]
+        bins = bins.reshape(-1)[:k]
         if use_cumsum:
-            pmax, bins = out3
             rx_norm_sq = power_cumsum[shifts + n] - power_cumsum[shifts]
         else:
-            pmax, bins, rx_norm_sq = out3
+            rx_norm_sq = jax.lax.map(
+                lambda s: jnp.sum(_abs_sq(jax.lax.dynamic_slice(
+                    rx, (s,), (n,)))).astype(rdt), shifts)
         out = (pmax / cutout_norm_sq / rx_norm_sq, bins)
         return _refine_peak_f32(*out) if refine else out
 
