@@ -108,4 +108,80 @@ ok_m = np.array_equal(gm, rm.astype(np.float32))
 print(f"medfilt MXU-count kernel: {'bit-exact OK' if ok_m else 'BAD'}")
 results.append(ok_m)
 
+# ---- round-5 kernels on real hardware -------------------------------------
+# three-stage fused CAF chain (fused3) at a 2M lane-exact triple
+from pydsproutines_tpu.ops.pallas.fused_caf3 import get_caf3_plan, caf3_sweep
+n3 = 1 << 21
+cut3 = (rng.standard_normal(n3) + 1j * rng.standard_normal(n3)).astype(np.complex64)
+rx3 = (0.1 * (rng.standard_normal(n3 + 2200)
+              + 1j * rng.standard_normal(n3 + 2200))).astype(np.complex64)
+rx3[7:7 + n3] += cut3
+plan3 = get_caf3_plan(n3, "bf16")
+cc3 = np.conj(cut3)
+
+
+@jax.jit
+def run3(rri, cri):
+    rxr = rri[0].astype(jnp.bfloat16)
+    rxi = rri[1].astype(jnp.bfloat16)
+    return caf3_sweep(rxr, rxi, cri[0], cri[1], jnp.int32(2), 8, 1, plan3)
+
+
+pk3, b3 = run3(jax.device_put(jnp.asarray(np.stack([rx3.real, rx3.imag]))),
+               jax.device_put(jnp.asarray(np.stack([cc3.real, cc3.imag]))))
+pk3 = np.asarray(pk3); b3 = np.asarray(b3)
+tq3, tb3 = truth(cut3, rx3, np.arange(2, 10))
+ok3_peak = int(np.argmax(pk3)) == int(np.argmax(tq3)) == 5
+ok3_bin = b3[5] == tb3[5]
+# raw |peak|^2 vs truth spectrum peak (bf16 sweep grade)
+spec5 = np.abs(np.fft.fft(rx3[7:7+n3] * cc3)) ** 2
+rel3 = abs(pk3[5] - spec5.max()) / spec5.max()
+print(f"caf3 fused chain (n=2^21): peak_idx {'OK' if ok3_peak else 'BAD'}, "
+      f"bin {'OK' if ok3_bin else 'BAD'}, mag rel {rel3:.2e}")
+results.append(ok3_peak and ok3_bin and rel3 < 5e-2)
+
+# plane-direct fused WOLA (n = 128) vs f64 numpy truth
+nw2 = 128 * 2560
+xw2 = (rng.standard_normal(nw2) + 1j * rng.standard_normal(nw2)).astype(np.complex64)
+hw2 = np.hanning(128 * 16).astype(np.float32)
+rows2 = nw2 // 128
+idx2 = np.arange(rows2)[:, None] * 128 - np.arange(128 * 16)[None, :]
+valid2 = idx2 >= 0
+win2 = np.where(valid2, xw2.astype(np.complex128)[np.clip(idx2, 0, nw2 - 1)], 0)
+fold2 = (win2 * hw2.astype(np.float64)).reshape(rows2, 16, 128).sum(axis=1)
+ref2 = np.fft.ifft(fold2, axis=-1) * 128
+f2r, f2i = jax.jit(functools.partial(wola_planes_flat, dec=128, n=128))(
+    jax.device_put(jnp.asarray(hw2)),
+    jax.device_put(jnp.asarray(xw2.real)), jax.device_put(jnp.asarray(xw2.imag)))
+got2 = (np.asarray(f2r) + 1j * np.asarray(f2i)).reshape(ref2.shape)
+rel2 = np.abs(got2 - ref2).max() / np.abs(ref2).max()
+ok_w2 = rel2 < 1e-5
+print(f"wola plane-direct fused (n=128): rel {rel2:.2e} "
+      f"{'OK' if ok_w2 else 'BAD'}")
+results.append(ok_w2)
+
+# group-xcorr tone-dot formulation vs the XLA parity tier
+from pydsproutines_tpu.ops.groupxcorr import GroupXcorrCZT
+glen, ng = 256, 4
+gst = np.arange(ng) * 640
+gln = np.full(ng, glen)
+spang = int(gst[-1] + glen)
+yg = (rng.standard_normal(spang) + 1j * rng.standard_normal(spang)).astype(np.complex64)
+rxg = (0.05 * (rng.standard_normal(spang + 400)
+               + 1j * rng.standard_normal(spang + 400))).astype(np.complex64)
+rxg[133:133 + spang] += yg
+bwg = 1e6 / glen / 2
+gx = GroupXcorrCZT(yg, gst, gln, -8 * bwg, 7 * bwg, bwg, 1e6)
+sh = np.arange(100, 164)
+refg, _ = gx.xcorr(jnp.asarray(rxg), jnp.asarray(sh), fused=False)
+cg = gx._fused_consts(batch=64, step=1)
+gotg = np.asarray(gx._xcorr_fused(jnp.asarray(rxg), jnp.asarray(sh), cg))
+refg = np.asarray(refg)
+okg = (np.unravel_index(np.argmax(refg), refg.shape)
+       == np.unravel_index(np.argmax(gotg), gotg.shape))
+relg = abs(gotg.max() - refg.max()) / refg.max()
+print(f"group-xcorr tone-dot: peak {'OK' if okg else 'BAD'}, "
+      f"qf2 rel {relg:.2e}")
+results.append(okg and relg < 5e-2)
+
 print("HW PARITY:", "PASS" if all(results) else "FAIL")

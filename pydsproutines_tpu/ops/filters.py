@@ -349,14 +349,25 @@ def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
     h_comb = jnp.convolve(h_up, jnp.asarray(rs_taps),
                           precision=jax.lax.Precision.HIGHEST)
     n_out = get_upfirdn_size(re.shape[-1], t2, up, down)
-    planes = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)])
     # HIGHEST: on real Mosaic, DEFAULT-precision dot RESULTS are
     # bf16-rounded regardless of operand hi/lo splitting (measured on v5e:
     # bf16x3 1.6e-3, single-pass 2.2e-3, HIGHEST 2.1e-7 — the
     # error-compensated 3-pass scheme cannot beat ~1e-3 on chip even
     # though interpret mode shows 5e-6). f32-grade parity keeps HIGHEST.
-    y = _upfirdn_planes_dispatch(planes, h_comb.astype(jnp.float32),
-                                 up, down, n_out, prec="highest")
+    h32 = h_comb.astype(jnp.float32)
+    if jax.devices()[0].platform == "tpu":
+        from pydsproutines_tpu.ops.pallas.upfirdn import (
+            _upfirdn_pallas_planes2, upfirdn_pallas_viable)
+        if upfirdn_pallas_viable(n_out, int(h32.shape[-1]), up, down):
+            # round 5: the planes go to the kernel as SEPARATE operands —
+            # no jnp.stack materialization on the hot path
+            y = _upfirdn_pallas_planes2(
+                re.astype(jnp.float32), im.astype(jnp.float32), h32,
+                up, down, n_out, prec="highest")
+            return y[0], y[1]
+    planes = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)])
+    y = _upfirdn_planes_dispatch(planes, h32, up, down, n_out,
+                                 prec="highest")
     return y[0], y[1]
 
 

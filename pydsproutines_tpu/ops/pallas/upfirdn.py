@@ -84,10 +84,16 @@ def _band_matrix(taps_r: np.ndarray | jnp.ndarray, up: int, down: int):
     return Kj, Lh, W
 
 
-def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
-            prec: str = "highest"):
+def _kernel(xre_hbm, xim_hbm, *rest, r: int, bt: int, R: int, cols: int,
+            widths, prec: str = "highest"):
     """rest = K part refs (r of them; 2r hi/lo pairs for bf16x3), out ref,
-    double-buffered scratch (2 slots), DMA semaphore pair.
+    double-buffered scratch (2 slots), DMA semaphore pairs.
+
+    The two quadrature planes arrive as SEPARATE HBM refs (round 5): the
+    caller feeds pure reshape views of its flat planes, so the former
+    jnp.stack([re, im]) materialization (a full 32 MB round trip at the
+    4M geometry) never happens — the same per-plane-operand lesson as
+    ops/pallas/wola_fused.
 
     The input tile DMA is double-buffered: step g waits on its own slot and
     prefetches step g+1's tile into the other slot before computing, so HBM
@@ -106,17 +112,18 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
     kparts = rest[:nk]
     out = rest[nk]
     scratch = rest[nk + 1]         # (2, 2, rows, R): [slot, plane, rows, R]
-    sems = rest[nk + 2]            # (2,) DMA semaphores
+    sems = rest[nk + 2]            # (2, 2) DMA semaphores [slot, plane]
+    planes_hbm = (xre_hbm, xim_hbm)
 
     gi = pl.program_id(0)
     nsteps = pl.num_programs(0)
     # HBM DMA row slices must be 8-sublane aligned: round bt + r - 1 up
     rows = bt + (-(-(r - 1) // 8)) * 8
 
-    def tile_copy(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(step * bt, rows), :],
-            scratch.at[slot], sems.at[slot])
+    def tile_copies(step, slot):
+        return [pltpu.make_async_copy(
+            planes_hbm[p].at[pl.ds(step * bt, rows), :],
+            scratch.at[slot, p], sems.at[slot, p]) for p in range(2)]
 
     two = jnp.asarray(2, gi.dtype)
     slot = jax.lax.rem(gi, two)
@@ -124,13 +131,16 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
 
     @pl.when(gi == 0)
     def _():
-        tile_copy(gi, slot).start()
+        for c in tile_copies(gi, slot):
+            c.start()
 
     @pl.when(gi + 1 < nsteps)
     def _():
-        tile_copy(gi + 1, nslot).start()
+        for c in tile_copies(gi + 1, nslot):
+            c.start()
 
-    tile_copy(gi, slot).wait()
+    for c in tile_copies(gi, slot):
+        c.wait()
 
     if prec == "bf16x3":
         dot = functools.partial(
@@ -176,13 +186,15 @@ def _kernel(x_hbm, *rest, r: int, bt: int, R: int, cols: int, widths,
 
 @functools.partial(jax.jit, static_argnames=("up", "down", "n_out",
                                              "interpret", "bt", "prec"))
-def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
-                           up: int, down: int, n_out: int,
-                           interpret: bool = False,
-                           bt: int = _BT, prec: str = "highest"
-                           ) -> jnp.ndarray:
-    """planes: (2, n) float32. Returns (2, n_out) float32 (scipy upfirdn of
-    each plane with real taps)."""
+def _upfirdn_pallas_planes2(re: jnp.ndarray, im: jnp.ndarray,
+                            taps_r: jnp.ndarray, up: int, down: int,
+                            n_out: int, interpret: bool = False,
+                            bt: int = _BT, prec: str = "highest"
+                            ) -> jnp.ndarray:
+    """re/im: (n,) float32 quadrature planes, handled as SEPARATE kernel
+    operands (no stacked (2, n) intermediate is ever materialized — the
+    stack cost a full 32 MB round trip at the 4M geometry). Returns
+    (2, n_out) float32 (scipy upfirdn of each plane with real taps)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -212,27 +224,43 @@ def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
     nrows = nsteps * bt + extra
     left = Lh - 1
     need = nrows * R
-    xp = jnp.pad(planes.astype(jnp.float32),
-                 ((0, 0), (left, max(0, need - planes.shape[-1] - left))))
-    x_rows = xp[:, :need].reshape(2, nrows, R)
+
+    def prep(p):
+        p = p.astype(jnp.float32)
+        p = jnp.pad(p, (left, max(0, need - p.shape[-1] - left)))
+        return p[:need].reshape(nrows, R)
+
+    x_re = prep(re)
+    x_im = prep(im)
 
     out = pl.pallas_call(
         functools.partial(_kernel, r=r, bt=bt, R=R, cols=cols,
                           widths=tuple(widths), prec=prec),
         grid=(nsteps,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(kparts),
         out_specs=pl.BlockSpec((2, 1, bt, cols), lambda g: (0, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, nsteps, bt, cols), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, 2, bt + extra, R), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * 2 * bt * sum(widths) * cols,
             transcendentals=0,
-            bytes_accessed=4 * x_rows.size + 4 * 2 * nsteps * bt * cols),
+            bytes_accessed=8 * x_re.size + 4 * 2 * nsteps * bt * cols),
         interpret=interpret,
-    )(x_rows, *kparts)
+    )(x_re, x_im, *kparts)
     return out.reshape(2, -1)[:, :n_out]
+
+
+def _upfirdn_pallas_planes(planes: jnp.ndarray, taps_r: jnp.ndarray,
+                           up: int, down: int, n_out: int,
+                           interpret: bool = False,
+                           bt: int = _BT, prec: str = "highest"
+                           ) -> jnp.ndarray:
+    """(2, n)-stacked convenience wrapper over _upfirdn_pallas_planes2."""
+    return _upfirdn_pallas_planes2(planes[0], planes[1], taps_r, up, down,
+                                   n_out, interpret=interpret, bt=bt,
+                                   prec=prec)
