@@ -389,3 +389,38 @@ def test_path_acs_size_gate_falls_back_to_scan():
     assert not _viterbi_acs_viable(2, 8, 512)       # 6561 states
     assert not _viterbi_acs_viable(127, 1, 10 ** 6)  # elems blow-up
     assert not _viterbi_acs_viable(200, 1, 4)       # state cap
+
+
+def test_batched_acs_matches_per_burst(rng):
+    """viterbi_path_acs_batch (bursts-minor min-plus chain, round 5) must
+    equal the per-burst dispatcher exactly for k_syms = 1 and 2."""
+    from pydsproutines_tpu.ops.viterbi import (_viterbi_run,
+                                               viterbi_path_acs_batch)
+    alphabet = np.array([1.0, -1.0], dtype=np.complex64)
+    pret = np.array([[0, 1], [0, 1]], dtype=np.int32)
+    up, nsyms, B = 8, 48, 4
+    pulse2 = np.full((1, 2 * up), 0.5, dtype=np.complex64)
+    omegas = np.array([0.05], dtype=np.float32)
+    start = np.array([True, True])
+    ps = tuple(map(tuple, pret.tolist()))
+    ss = (True, True)
+    ys = (rng.standard_normal((B, nsyms * up))
+          + 1j * rng.standard_normal((B, nsyms * up))).astype(np.complex64)
+    for k_syms, plen in ((2, 2 * up), (1, up)):
+        pl_ = pulse2[:, :plen]
+        bp, bm = viterbi_path_acs_batch(
+            jnp.asarray(ys), jnp.asarray(alphabet), jnp.asarray(pret),
+            jnp.asarray(pl_), jnp.asarray(omegas), jnp.asarray(start),
+            up=up, pulselen=plen, k_syms=k_syms, pathlen=nsyms,
+            pret_static=ps, start_static=ss)
+        for b in range(B):
+            paths, metrics = _viterbi_run(
+                jnp.asarray(ys[b]), jnp.asarray(alphabet),
+                jnp.asarray(pret), jnp.asarray(pl_), jnp.asarray(omegas),
+                jnp.asarray(start), up=up, pulselen=plen, k_syms=k_syms,
+                pathlen=nsyms, survivor_metric="path", pret_static=ps,
+                start_static=ss)
+            np.testing.assert_allclose(np.asarray(bm)[b],
+                                       np.asarray(metrics), rtol=1e-4)
+            assert np.array_equal(np.asarray(bp)[b], np.asarray(paths)), \
+                (k_syms, b)
