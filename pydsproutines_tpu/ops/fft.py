@@ -182,6 +182,13 @@ class FourStepFFT:
                     factors = list(two) if two is not None else None
         self.viable = factors is not None and self.n >= 4096 \
             and len(factors) >= 2
+        if not self.viable and 128 <= self.n < 4096:
+            # small-n single-stage tier (round 5): one (n, n) DFT-matrix
+            # multiply rides the MXU where XLA's TPU FFT is launch-bound
+            # (the receiver pipeline's n=1024 per-channel xcorr fell to
+            # jnp.fft.fft). Output order is natural; permutation=identity.
+            factors = [self.n]
+            self.viable = True
         if not self.viable:
             self.factors = None
             return

@@ -184,6 +184,132 @@ def _kernel(xre_hbm, xim_hbm, *rest, r: int, bt: int, R: int, cols: int,
         out[p, 0] = acc
 
 
+def _kernel_nopad(head_re, head_im, xre_hbm, xim_hbm, tail_re, tail_im,
+                  *rest, r: int, bt: int, R: int, cols: int, widths,
+                  left: int, prec: str = "highest"):
+    """Pad-free variant (round 5): the wrapper never copies the 16 MB
+    planes. Sources per plane:
+
+      * head (bt+16, R): tiny wrapper-built array for step 0 — 8 zero rows
+        then the raw first rows (the zero filter history),
+      * body: the RAW (nrows0, R) reshape view; step g copies rows
+        [g*bt - 8, g*bt - 8 + bt + 16) — start and count 8-aligned,
+      * tail (bt+16, R): tiny wrapper-built array for the LAST step, with
+        the input's trailing rows zero-extended.
+
+    The ``left``-element zero-history lane offset (formerly a front pad of
+    the whole plane) is applied in-kernel: with z = roll(tile, left) the
+    padded-layout row i is where(lane < left, z[i-1], z[i]) — the same
+    companion-select as ops/pallas/wola_fused. Row i of the old padded
+    layout sits at local index 8 + i - g*bt.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nk = 2 * r if prec == "bf16x3" else r
+    kparts = rest[:nk]
+    out = rest[nk]
+    scratch = rest[nk + 1]         # (2, 2, bt+16, R)
+    sems = rest[nk + 2]            # (2, 2)
+    body = (xre_hbm, xim_hbm)
+    head = (head_re, head_im)
+    tail = (tail_re, tail_im)
+
+    gi = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    rows = bt + 16
+
+    def body_copies(step, slot):
+        return [pltpu.make_async_copy(
+            body[p].at[pl.ds(step * bt - 8, rows), :],
+            scratch.at[slot, p], sems.at[slot, p]) for p in range(2)]
+
+    def edge_copies(src, slot):
+        return [pltpu.make_async_copy(
+            src[p].at[pl.ds(0, rows), :],
+            scratch.at[slot, p], sems.at[slot, p]) for p in range(2)]
+
+    def start_for(step, slot):
+        if nsteps == 1:
+            # single-step: head already carries the zero tail (wrapper)
+            for c in edge_copies(head, slot):
+                c.start()
+            return
+        @pl.when(step == 0)
+        def _():
+            for c in edge_copies(head, slot):
+                c.start()
+
+        @pl.when((step > 0) & (step < nsteps - 1))
+        def _():
+            for c in body_copies(step, slot):
+                c.start()
+
+        @pl.when(step == nsteps - 1)
+        def _():
+            for c in edge_copies(tail, slot):
+                c.start()
+
+    two = jnp.asarray(2, gi.dtype)
+    slot = jax.lax.rem(gi, two)
+    nslot = jax.lax.rem(gi + 1, two)
+
+    @pl.when(gi == 0)
+    def _():
+        start_for(gi, slot)
+
+    @pl.when(gi + 1 < nsteps)
+    def _():
+        start_for(gi + 1, nslot)
+
+    for p in range(2):
+        pltpu.make_async_copy(scratch.at[slot, p], scratch.at[slot, p],
+                              sems.at[slot, p]).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 1)
+
+    def xt_plane(p):
+        z = pltpu.roll(scratch[slot, p], left, 1)
+        zprev = jnp.concatenate([z[:1], z[:-1]], axis=0)
+        return jnp.where(lane < left, zprev, z)
+
+    if prec == "bf16x3":
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for p in range(2):
+            xt = xt_plane(p)
+            acc = jnp.zeros((bt, cols), jnp.float32)
+            for j in range(r):
+                wj = widths[j]
+                a = xt[8 + j: 8 + j + bt, :wj]
+                au = jax.lax.bitcast_convert_type(a, jnp.uint32)
+                a_hi_f = jax.lax.bitcast_convert_type(
+                    au & jnp.uint32(0xFFFF0000), jnp.float32)
+                a_hi = a_hi_f.astype(jnp.bfloat16)
+                a_lo = (a - a_hi_f).astype(jnp.bfloat16)
+                acc = acc + (dot(a_hi, kparts[2 * j][...])
+                             + dot(a_hi, kparts[2 * j + 1][...])) \
+                    + dot(a_lo, kparts[2 * j][...])
+            out[p, 0] = acc
+        return
+
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision={"highest": jax.lax.Precision.HIGHEST,
+                   "default": jax.lax.Precision.DEFAULT}[prec])
+
+    for p in range(2):
+        xt = xt_plane(p)
+        acc = jnp.zeros((bt, cols), jnp.float32)
+        for j in range(r):
+            wj = widths[j]
+            a = xt[8 + j: 8 + j + bt, :wj]
+            acc = acc + dot(a, kparts[j][...])
+        out[p, 0] = acc
+
+
 @functools.partial(jax.jit, static_argnames=("up", "down", "n_out",
                                              "interpret", "bt", "prec"))
 def _upfirdn_pallas_planes2(re: jnp.ndarray, im: jnp.ndarray,
@@ -218,11 +344,60 @@ def _upfirdn_pallas_planes2(re: jnp.ndarray, im: jnp.ndarray,
 
     nb = -(-n_out // cols)
     nsteps = -(-nb // bt)
-    # padded input rows: window of block b (+part j) reads row b+j; the DMA
-    # row count is rounded to the 8-sublane tiling, so pad to that too
     extra = (-(-(r - 1) // 8)) * 8
-    nrows = nsteps * bt + extra
     left = Lh - 1
+    n_in = int(re.shape[-1])
+    nrows0 = n_in // R
+
+    # pad-free fast path (round 5): the body streams from the RAW reshape
+    # view; step 0 / last step read tiny wrapper-built head/tail arrays and
+    # the `left` zero-history offset is a static in-kernel lane roll — the
+    # former whole-plane front pad cost a 66 MB round trip at 4M.
+    if (n_in % R == 0 and nsteps >= 2 and r <= 9 and left < R
+            and nrows0 >= (nsteps - 1) * bt + 8):
+        def raws(p):
+            return p.astype(jnp.float32).reshape(nrows0, R)
+
+        def head_of(p2):
+            return jnp.concatenate(
+                [jnp.zeros((8, R), jnp.float32), p2[: bt + 8]], axis=0)
+
+        def tail_of(p2):
+            tl0 = (nsteps - 1) * bt - 8
+            avail = min(nrows0 - tl0, bt + 16)
+            return jnp.concatenate(
+                [p2[tl0: tl0 + avail],
+                 jnp.zeros((bt + 16 - avail, R), jnp.float32)], axis=0)
+
+        x_re = raws(re)
+        x_im = raws(im)
+        out = pl.pallas_call(
+            functools.partial(_kernel_nopad, r=r, bt=bt, R=R, cols=cols,
+                              widths=tuple(widths), left=left, prec=prec),
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(kparts),
+            out_specs=pl.BlockSpec((2, 1, bt, cols),
+                                   lambda g: (0, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2, nsteps, bt, cols),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, 2, bt + 16, R), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2, 2))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nsteps * 2 * bt * sum(widths) * cols,
+                transcendentals=0,
+                bytes_accessed=8 * x_re.size
+                + 4 * 2 * nsteps * bt * cols),
+            interpret=interpret,
+        )(head_of(x_re), head_of(x_im), x_re, x_im, tail_of(x_re),
+          tail_of(x_im), *kparts)
+        return out.reshape(2, -1)[:, :n_out]
+
+    # general path: whole-plane front/back pad + padded row view
+    nrows = nsteps * bt + extra
     need = nrows * R
 
     def prep(p):
