@@ -527,14 +527,47 @@ def _minplus_chain_batched(mats, m0, candc, legc):
     With B minor the lanes are full and the same chain runs >10x faster.
     """
     inf = jnp.float32(jnp.inf)
+    L, S, _, B = mats.shape
 
-    def compose(m1, m2):
-        # C[p, j, b] = min_k m2[p, k, b] + m1[k, j, b]
-        return jnp.min(m2[..., :, :, None, :] + m1[..., None, :, :, :],
-                       axis=-3)
+    # three-phase evaluation instead of a full associative_scan of matrix
+    # products: jax's associative_scan re-slices and concatenates the whole
+    # (L, S, S, B) array ~3x per level (measured 2.39 ms of the 2.5 ms k2
+    # call — the math itself is ~10 MB). Phase A reduces each KBL-step
+    # block to ONE transfer matrix by a pairwise tree (log2(KBL) fused
+    # passes over the mats, no interleave concats); phase B chains the
+    # NB block matrices with a tiny vector scan; phase C replays each
+    # block with a small-carry vector scan to emit every step's metrics.
+    kbl = 16
+    nb = -(-L // kbl)
+    pad = nb * kbl - L
+    if pad:
+        ident = jnp.where(jnp.eye(S, dtype=bool)[:, :, None], 0.0, inf)
+        mats = jnp.concatenate(
+            [mats, jnp.broadcast_to(ident, (pad, S, S, B))], axis=0)
+    matsp = mats.reshape(nb, kbl, S, S, B)
 
-    prefix = jax.lax.associative_scan(compose, mats)       # (N-1, S, S, B)
-    all_m = jnp.min(prefix + m0[None, None, :, :], axis=-2)  # (N-1, S, B)
+    cur = matsp
+    while cur.shape[1] > 1:
+        a = cur[:, 0::2]
+        b = cur[:, 1::2]
+        # "later after earlier": C[p, j] = min_k b[p, k] + a[k, j]
+        cur = jnp.min(b[..., :, :, None, :] + a[..., None, :, :, :],
+                      axis=-3)
+    blockmats = cur[:, 0]                                  # (NB, S, S, B)
+
+    def bstep(m, mb):
+        nm = jnp.min(mb + m[None, :, :], axis=1)
+        return nm, m                                       # emit EXCLUSIVE
+
+    _, m_starts = jax.lax.scan(bstep, m0, blockmats)       # (NB, S, B)
+
+    def cstep(m, mt):
+        nm = jnp.min(mt + m[:, None, :, :], axis=2)
+        return nm, nm
+
+    matsk = jnp.moveaxis(matsp, 1, 0)                      # (kbl, NB, S, S, B)
+    _, m_all = jax.lax.scan(cstep, m_starts, matsk)        # (kbl, NB, S, B)
+    all_m = jnp.moveaxis(m_all, 0, 1).reshape(nb * kbl, S, B)[:L]
     metrics = all_m[-1]
     m_prev = jnp.concatenate([m0[None], all_m[:-1]], axis=0)
 
@@ -546,15 +579,35 @@ def _minplus_chain_batched(mats, m0, candc, legc):
     bq = candc_j[jnp.arange(candc_j.shape[0])[None, :, None],
                  best_u]                                   # (N-1, S, B)
 
-    def compose_idx(g2, g1):
-        return jnp.take_along_axis(g1, g2, axis=-2)
+    # blocked reverse composition of the backpointer index maps (same
+    # three-phase structure as the metrics above): F_l = bq[l] maps state
+    # at symbol l+1 -> symbol l; suffix[m] = (F_m o ... o F_{L-1})(end).
+    idmap = jnp.broadcast_to(jnp.arange(S, dtype=bq.dtype)[:, None],
+                             (S, B))
+    if pad:
+        bq = jnp.concatenate(
+            [bq, jnp.broadcast_to(idmap, (pad, S, B))], axis=0)
+    bqp = bq.reshape(nb, kbl, S, B)
+    curi = bqp
+    while curi.shape[1] > 1:
+        a = curi[:, 0::2]                                  # earlier
+        b_ = curi[:, 1::2]                                 # later
+        curi = jnp.take_along_axis(a, b_, axis=-2)         # earlier o later
+    blockmaps = curi[:, 0]                                 # (NB, S, B)
 
-    suffix = jax.lax.associative_scan(compose_idx, bq, reverse=True)
-    n_s, b = bq.shape[1], bq.shape[2]
-    codeseq = jnp.concatenate(
-        [suffix, jnp.broadcast_to(
-            jnp.arange(n_s, dtype=bq.dtype)[None, :, None],
-            (1, n_s, b))], axis=0)                         # (N, S, B)
+    def rstep(tail, hb):
+        return jnp.take_along_axis(hb, tail, axis=-2), tail
+
+    _, tails = jax.lax.scan(rstep, idmap, blockmaps, reverse=True)
+
+    def rcstep(c, fk):
+        s = jnp.take_along_axis(fk, c, axis=-2)
+        return s, s
+
+    bqk = jnp.moveaxis(bqp, 1, 0)                          # (kbl, NB, S, B)
+    _, s_all = jax.lax.scan(rcstep, tails, bqk, reverse=True)
+    suffix = jnp.moveaxis(s_all, 0, 1).reshape(nb * kbl, S, B)[:L]
+    codeseq = jnp.concatenate([suffix, idmap[None]], axis=0)  # (N, S, B)
     return metrics, codeseq
 
 
