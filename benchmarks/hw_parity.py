@@ -173,9 +173,12 @@ rxg[133:133 + spang] += yg
 bwg = 1e6 / glen / 2
 gx = GroupXcorrCZT(yg, gst, gln, -8 * bwg, 7 * bwg, bwg, 1e6)
 sh = np.arange(100, 164)
-refg, _ = gx.xcorr(jnp.asarray(rxg), jnp.asarray(sh), fused=False)
+# the axon transport cannot move complex arrays: form rx on device
+rxg_dev = jax.jit(lambda p: jax.lax.complex(p[0], p[1]))(
+    jax.device_put(jnp.asarray(np.stack([rxg.real, rxg.imag]))))
+refg, _ = gx.xcorr(rxg_dev, jnp.asarray(sh), fused=False)
 cg = gx._fused_consts(batch=64, step=1)
-gotg = np.asarray(gx._xcorr_fused(jnp.asarray(rxg), jnp.asarray(sh), cg))
+gotg = np.asarray(gx._xcorr_fused(rxg_dev, jnp.asarray(sh), cg))
 refg = np.asarray(refg)
 okg = (np.unravel_index(np.argmax(refg), refg.shape)
        == np.unravel_index(np.argmax(gotg), gotg.shape))
