@@ -439,14 +439,14 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
     start_static = tuple(bool(v) for v in start_mask)
 
     def make_step(survivor):
+        from pydsproutines_tpu.ops.viterbi import viterbi_path_acs_batch
+
         @functools.partial(jax.jit, static_argnames=("n_reps",))
         def step(yri, salt, n_reps):
             def one(yrow):
                 # faithful 'branch' semantics: control flow is
                 # data-independent for memoryless pulses (round-3 proof),
                 # so the static tables collapse the trellis to gather+sum.
-                # 'path' is the non-degenerate textbook ACS — the real
-                # sequential-trellis measure, emitted as its own metric.
                 paths, metrics = _viterbi_run(
                     yrow, jnp.asarray(alphabet), jnp.asarray(pretransitions),
                     jnp.asarray(pulse), jnp.asarray(omegas),
@@ -460,6 +460,17 @@ def bench_cp2fsk_viterbi(B=64, nsyms=512, up=8):
                 yb = jax.lax.complex(
                     yri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
                     yri[1])
+                if survivor == "path":
+                    # non-degenerate textbook ACS — the real trellis
+                    # measure, batched bursts-minor (round 5)
+                    paths, metrics = viterbi_path_acs_batch(
+                        yb, jnp.asarray(alphabet),
+                        jnp.asarray(pretransitions), jnp.asarray(pulse),
+                        jnp.asarray(omegas), jnp.asarray(start_mask),
+                        up=up, pulselen=up, k_syms=1, pathlen=nsyms,
+                        pret_static=pret_static,
+                        start_static=start_static)
+                    return acc + jnp.sum(jnp.min(metrics, axis=1)), None
                 return acc + jnp.sum(jax.vmap(one)(yb)), None
             acc, _ = jax.lax.scan(
                 body, jnp.float32(0), jnp.arange(n_reps, dtype=jnp.float32))
