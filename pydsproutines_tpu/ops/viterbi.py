@@ -284,12 +284,12 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
         # symbol: m_n[p] = min_t m_{n-1}[pret[p,t]] + bm_short[n, p] (the
         # bm_full term is constant across t here, so selection reduces to
         # argmin over predecessor path metrics). Min-plus maps compose
-        # associatively, so ALL prefix metrics evaluate in O(log N)
-        # parallel passes via associative_scan of (A, A) min-plus matrices
-        # — the serial 6-us-per-step ACS scan (launch-latency bound,
-        # benchmarks/exp_viterbi_unroll.py) disappears while the recursion
-        # stays fully data-DEPENDENT (unlike the 'branch' static tables).
-        # Backtracking composes (A,)-index maps the same way.
+        # associatively, so ALL prefix metrics evaluate in logarithmic
+        # depth over (A, A) min-plus matrices — the serial 6-us-per-step
+        # ACS scan (launch-latency bound, exp_viterbi_unroll.py)
+        # disappears while the recursion stays fully data-DEPENDENT
+        # (unlike the 'branch' static tables). Backtracking composes
+        # (A,)-index maps the same way (blocked chain core below).
         pret = pretransitions
         A_ = A
         T = pret.shape[1]
@@ -297,35 +297,14 @@ def _viterbi_run_memoryless(y, alphabet, pretransitions, pulses, omegas,
         # predecessor of p else inf), for n = 1..pathlen-1
         adj = jnp.full((A_, A_), inf).at[
             jnp.arange(A_)[:, None], pret].set(0.0)      # static indices
-        mats = bm_short[1:, :, None] + adj[None, :, :]   # (N-1, A, A)
-
-        def compose(m1, m2):
-            # (m2 after m1): C[p, j] = min_k m2[p, k] + m1[k, j]
-            return jnp.min(m2[..., :, :, None] + m1[..., None, :, :],
-                           axis=-2)
-
-        prefix = jax.lax.associative_scan(compose, mats)  # (N-1, A, A)
+        # B=1 route through the blocked three-phase chain core (round 5:
+        # jax's associative_scan re-slices the whole array per level —
+        # see _minplus_chain_batched)
+        mats = (bm_short[1:, :, None] + adj[None, :, :])[..., None]
         m0 = jnp.where(start_mask, bm_short[0], inf)
-        all_m = jnp.min(prefix + m0[None, None, :], axis=-1)  # (N-1, A)
-        metrics = all_m[-1]
-        m_prev = jnp.concatenate([m0[None], all_m[:-1]], axis=0)  # (N-1, A)
-
-        # survivor choice per step from the prefix metrics (one batch
-        # gather): best_t = argmin over t (ties -> lowest t, as the scan)
-        cand = m_prev[:, pret]                           # (N-1, A, T)
-        best_t = jnp.argmin(cand, axis=-1)
-        bq = pret[jnp.arange(A_)[None, :], best_t]       # (N-1, A)
-
-        # backtrack by composing index maps g_m(p) = bq[m-1, p] from the
-        # end: suffix[m, p] = state at symbol m of the path ending in p
-        def compose_idx(g2, g1):
-            # apply g2 first (later step), then g1
-            return jnp.take_along_axis(g1, g2, axis=-1)
-
-        suffix = jax.lax.associative_scan(compose_idx, bq, reverse=True)
-        idx = jnp.concatenate(
-            [suffix, jnp.arange(A_, dtype=bq.dtype)[None, :]], axis=0)
-        return idx.T.astype(jnp.int32), metrics
+        metrics_b, codeseq = _minplus_chain_batched(
+            mats, m0[:, None], pret, np.ones((A_, T), bool))
+        return codeseq[..., 0].T.astype(jnp.int32), metrics_b[:, 0]
 
     metrics0 = jnp.where(start_mask, bm_short[0], inf)
     pret = pretransitions
@@ -475,30 +454,12 @@ def _viterbi_run_path_acs(y, alphabet, pretransitions, pulses, omegas,
         jnp.where(jnp.asarray(start), bm_short[0, jnp.asarray(init_codes)],
                   inf))
 
-    mats = bm_short[1:, :, None] + jnp.asarray(adjc)[None]  # (N-1, C, C)
-
-    def compose(m1, m2):
-        return jnp.min(m2[..., :, :, None] + m1[..., None, :, :], axis=-2)
-
-    prefix = jax.lax.associative_scan(compose, mats)
-    all_m = jnp.min(prefix + m0[None, None, :], axis=-1)    # (N-1, C)
-    metrics_c = all_m[-1]
-    m_prev = jnp.concatenate([m0[None], all_m[:-1]], axis=0)
-
-    # survivor backpointers from the prefix metrics (batch gather)
-    candc_j = jnp.asarray(candc)
-    cand = jnp.where(jnp.asarray(legc)[None], m_prev[:, candc_j], inf)
-    best_u = jnp.argmin(cand, axis=-1)                      # (N-1, C)
-    bq = jnp.take_along_axis(
-        jnp.broadcast_to(candc_j, cand.shape[:1] + candc_j.shape),
-        best_u[..., None], axis=-1)[..., 0]                 # (N-1, C)
-
-    def compose_idx(g2, g1):
-        return jnp.take_along_axis(g1, g2, axis=-1)
-
-    suffix = jax.lax.associative_scan(compose_idx, bq, reverse=True)
-    codeseq = jnp.concatenate(
-        [suffix, jnp.arange(codes, dtype=bq.dtype)[None, :]], axis=0)
+    # B=1 route through the blocked three-phase chain core
+    mats = (bm_short[1:, :, None] + jnp.asarray(adjc)[None])[..., None]
+    metrics_cb, codeseq_b = _minplus_chain_batched(mats, m0[:, None],
+                                                   candc, legc)
+    metrics_c = metrics_cb[:, 0]
+    codeseq = codeseq_b[..., 0]                             # (pathlen, C)
     stateseq = (codeseq % base).astype(jnp.int32) - 1       # (pathlen, C)
 
     # ---- reduce to the (A,) per-final-alphabet-state API --------------------
