@@ -326,7 +326,6 @@ def fir_upfirdn(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray, x: jnp.ndarray,
     return full[..., :n_out]
 
 
-@functools.partial(jax.jit, static_argnames=("up", "down"))
 def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
                             re: jnp.ndarray, im: jnp.ndarray,
                             up: int, down: int):
@@ -342,19 +341,32 @@ def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
     """
     t2 = rs_taps.shape[-1]
     t1 = fir_taps.shape[-1]
-    ft = jnp.asarray(fir_taps)
-    h_up = jnp.concatenate(
-        [ft[:, None], jnp.zeros((t1, up - 1), ft.dtype)],
-        axis=1).reshape(-1)[: t1 * up - (up - 1)]
-    h_comb = jnp.convolve(h_up, jnp.asarray(rs_taps),
-                          precision=jax.lax.Precision.HIGHEST)
+    concrete = not (isinstance(fir_taps, jax.core.Tracer)
+                    or isinstance(rs_taps, jax.core.Tracer))
+    if concrete:
+        # HOST tap combination (round 5): with taps traced, the combine +
+        # band-matrix build re-ran inside every pjit call of a rep loop
+        # (XLA does not hoist across pjit boundaries — a tiny TPU conv op
+        # per call); concrete taps now fold at trace time and the kernel's
+        # K parts embed as program constants.
+        hu = np.zeros(t1 * up - (up - 1), np.float64)
+        hu[::up] = np.asarray(fir_taps, dtype=np.float64)
+        h_comb = np.convolve(hu, np.asarray(rs_taps, dtype=np.float64))
+    else:
+        ft = jnp.asarray(fir_taps)
+        h_up = jnp.concatenate(
+            [ft[:, None], jnp.zeros((t1, up - 1), ft.dtype)],
+            axis=1).reshape(-1)[: t1 * up - (up - 1)]
+        h_comb = jnp.convolve(h_up, jnp.asarray(rs_taps),
+                              precision=jax.lax.Precision.HIGHEST)
     n_out = get_upfirdn_size(re.shape[-1], t2, up, down)
     # HIGHEST: on real Mosaic, DEFAULT-precision dot RESULTS are
     # bf16-rounded regardless of operand hi/lo splitting (measured on v5e:
     # bf16x3 1.6e-3, single-pass 2.2e-3, HIGHEST 2.1e-7 — the
     # error-compensated 3-pass scheme cannot beat ~1e-3 on chip even
     # though interpret mode shows 5e-6). f32-grade parity keeps HIGHEST.
-    h32 = h_comb.astype(jnp.float32)
+    h32 = (h_comb.astype(np.float32) if concrete
+           else h_comb.astype(jnp.float32))
     if jax.devices()[0].platform == "tpu":
         from pydsproutines_tpu.ops.pallas.upfirdn import (
             _upfirdn_pallas_planes2, upfirdn_pallas_viable)
@@ -366,7 +378,7 @@ def fir_upfirdn_planes_flat(fir_taps: jnp.ndarray, rs_taps: jnp.ndarray,
                 up, down, n_out, prec="highest")
             return y[0], y[1]
     planes = jnp.stack([re.astype(jnp.float32), im.astype(jnp.float32)])
-    y = _upfirdn_planes_dispatch(planes, h32, up, down, n_out,
+    y = _upfirdn_planes_dispatch(planes, jnp.asarray(h32), up, down, n_out,
                                  prec="highest")
     return y[0], y[1]
 

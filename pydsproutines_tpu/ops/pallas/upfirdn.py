@@ -59,10 +59,32 @@ def upfirdn_pallas_viable(n_out: int, taps_len: int, up: int, down: int,
 
 def _band_matrix(taps_r: np.ndarray | jnp.ndarray, up: int, down: int):
     """The (W, cols) banded tap matrix of the gp=128 block form (same math
-    as ops/filters._upfirdn_poly_planes, fixed gp)."""
+    as ops/filters._upfirdn_poly_planes, fixed gp).
+
+    Concrete numpy taps build entirely on the HOST (round 5): traced-
+    constant taps made the band build + K splits re-run inside every pjit
+    call of a rep loop (XLA does not hoist across pjit boundaries) —
+    numpy tables embed as program constants instead."""
     P, S, cols, R = upfirdn_geometry(up, down)
     T = taps_r.shape[-1]
     Lh = -(-T // up)
+    if isinstance(taps_r, np.ndarray):
+        hpad = np.pad(taps_r.astype(np.float32), (0, Lh * up - T))
+        Hp = hpad.reshape(Lh, up).T
+        c = np.arange(P)
+        p_c = (c * down) % up
+        qc_c = (c * down) // up
+        Lw = Lh + int(qc_c[-1])
+        W = (_GP - 1) * S + Lw
+        t_full = np.arange(W)[:, None]
+        col_full = np.arange(cols)[None, :]
+        gi_f = col_full // P
+        ci_f = col_full % P
+        l_f = (gi_f * S + qc_c[ci_f] + Lh - 1) - t_full
+        valid = (l_f >= 0) & (l_f < Lh)
+        Kj = np.where(valid, Hp[p_c[ci_f], np.clip(l_f, 0, Lh - 1)],
+                      np.float32(0.0))
+        return Kj.astype(np.float32), Lh, W
     # pad, not .at[].set: a scatter on TRACED taps (perturbed-tap reps,
     # nested jits) costs ~1 ms/call at runtime; pad is free either way
     hpad = jnp.pad(taps_r, (0, Lh * up - T))
@@ -310,8 +332,6 @@ def _kernel_nopad(head_re, head_im, xre_hbm, xim_hbm, tail_re, tail_im,
         out[p, 0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("up", "down", "n_out",
-                                             "interpret", "bt", "prec"))
 def _upfirdn_pallas_planes2(re: jnp.ndarray, im: jnp.ndarray,
                             taps_r: jnp.ndarray, up: int, down: int,
                             n_out: int, interpret: bool = False,
@@ -328,16 +348,24 @@ def _upfirdn_pallas_planes2(re: jnp.ndarray, im: jnp.ndarray,
     Kj, Lh, W = _band_matrix(taps_r.astype(jnp.float32), up, down)
     r = -(-W // R)
     # K parts: rows [j*R : j*R + w_j], lane-padded to 128 multiples;
-    # bf16x3 passes exact hi/lo split pairs instead
+    # bf16x3 passes exact hi/lo split pairs instead. Numpy band matrices
+    # (concrete taps) keep the parts numpy so they embed as program
+    # constants — zero per-call tap work.
+    host = isinstance(Kj, np.ndarray)
+    xp = np if host else jnp
+    if host:
+        import ml_dtypes
+        bf16 = np.dtype(ml_dtypes.bfloat16)
     widths, kparts = [], []
     for j in range(r):
         wj = min(R, W - j * R)
         wjp = -(-wj // 128) * 128
-        kp = jnp.pad(Kj[j * R: j * R + wj], ((0, wjp - wj), (0, 0)))
+        kp = xp.pad(Kj[j * R: j * R + wj], ((0, wjp - wj), (0, 0)))
         widths.append(wjp)
         if prec == "bf16x3":
-            k_hi = kp.astype(jnp.bfloat16)
-            k_lo = (kp - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            k_hi = kp.astype(bf16 if host else jnp.bfloat16)
+            k_lo = (kp - k_hi.astype(np.float32 if host else jnp.float32)
+                    ).astype(bf16 if host else jnp.bfloat16)
             kparts.extend([k_hi, k_lo])
         else:
             kparts.append(kp)
