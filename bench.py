@@ -214,23 +214,25 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
         # flat-plane fused chain (combined-taps single memory pass;
         # accuracy-equivalent to lfilter_fir + upfirdn — see
         # benchmarks/exp_fir_breakdown.py). Anti-memoization perturbs the
-        # INPUT here (one 16 MB plane pass): tap perturbation would leave
-        # the (658, 640) banded tap matrix traced, whose gather-build runs
-        # ~ms-scale on TPU instead of const-folding at compile (measured
-        # 0.84 vs 2.7+ GS/s). Forcing reads a small slice of each output
-        # plane (the kernel still writes all of it).
-        outs = []
-        for i in range(n_reps):
+        # INPUT (one 16 MB plane pass): tap perturbation would leave the
+        # banded tap matrix traced (ms-scale runtime build). With the
+        # round-5 HOST tap pipeline the K tables are program CONSTANTS,
+        # so scan-over-reps has no per-iteration invariant re-run and the
+        # rep count can escalate past transport noise (the old unrolled
+        # program capped r_hi at 16 for compile time and was noise-REFUSED
+        # on degraded transport).
+        def body(acc, i):
             o_re, o_im = fir_upfirdn_planes_flat(
-                jnp.asarray(h_fir), jnp.asarray(h_rs),
-                xri[0] * (1.0 + 1e-7 * (salt + i)), xri[1], up, down)
-            outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
-        return jnp.stack(outs)
+                h_fir, h_rs,
+                xri[0] * (1.0 + 1e-7 * (salt.astype(jnp.float32) + i)),
+                xri[1], up, down)
+            return acc + jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(n_reps, dtype=jnp.float32))
+        return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
-    # unrolled-rep program: cap escalation (each r_hi recompiles a program
-    # r_hi x the chain; axon compile latency makes r_hi=64 a 30+ min build)
-    dt = rep_differenced(step, d_x, max_r_hi=16)
+    dt = rep_differenced(step, d_x, max_r_hi=512)
     rate = n / dt / 1e9  # GS/s input
 
     # CPU tier baseline (reference numpy/scipy path) at reduced size
@@ -269,15 +271,23 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
         # measured the harness, not the channelizer. Forcing reads a small
         # slice of each output plane; the kernel still writes the full
         # channel matrix to HBM (a pallas_call is opaque to DCE).
-        outs = []
-        for i in range(n_reps):
-            hh = jnp.asarray(h) * (1.0 + 1e-7 * (salt + i))
+        # scan-over-reps (round 5): the tap perturb makes every rep's fold
+        # tables loop-variant by design (2 KB of work), so the scan body
+        # repeats exactly the per-call work while the program size stays
+        # constant — rep counts can now escalate past transport noise
+        # (the unrolled program capped r_hi at 16 and was noise-REFUSED
+        # on the degraded late-session transport).
+        def body(acc, i):
+            hh = jnp.asarray(h) * (1.0 + 1e-7 * (salt.astype(jnp.float32)
+                                                 + i))
             o_re, o_im = wola_planes_flat(hh, xri[0], xri[1], dec, nch)
-            outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
-        return jnp.stack(outs)
+            return acc + jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(n_reps, dtype=jnp.float32))
+        return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
-    dt = rep_differenced(step, d_x, max_r_hi=16)   # unrolled-rep program
+    dt = rep_differenced(step, d_x, max_r_hi=512)
     rate = n / dt / 1e9
 
     # CPU tier baseline: vectorized numpy WOLA fold + batched IFFT
