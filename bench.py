@@ -209,18 +209,27 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
     h_fir = rng.standard_normal(fir_taps).astype(np.float32)
     h_rs = rng.standard_normal(rs_taps).astype(np.float32)
 
+    # flat-plane fused chain (combined-taps single memory pass;
+    # accuracy-equivalent to lfilter_fir + upfirdn). Anti-memoization
+    # perturbs the INPUT (the round-5 host tap pipeline makes the K
+    # tables program constants either way). Two harness shapes:
+    # unrolled reps (XLA overlaps consecutive reps — the representative
+    # throughput, r_hi capped for compile time) with a scan-over-reps
+    # FALLBACK (constant program size, escalates past transport noise,
+    # ~10% conservative because the rep carry serializes) used only when
+    # the unrolled reading is noise-refused.
     @functools.partial(jax.jit, static_argnames=("n_reps",))
     def step(xri, salt, n_reps):
-        # flat-plane fused chain (combined-taps single memory pass;
-        # accuracy-equivalent to lfilter_fir + upfirdn — see
-        # benchmarks/exp_fir_breakdown.py). Anti-memoization perturbs the
-        # INPUT (one 16 MB plane pass): tap perturbation would leave the
-        # banded tap matrix traced (ms-scale runtime build). With the
-        # round-5 HOST tap pipeline the K tables are program CONSTANTS,
-        # so scan-over-reps has no per-iteration invariant re-run and the
-        # rep count can escalate past transport noise (the old unrolled
-        # program capped r_hi at 16 for compile time and was noise-REFUSED
-        # on degraded transport).
+        outs = []
+        for i in range(n_reps):
+            o_re, o_im = fir_upfirdn_planes_flat(
+                h_fir, h_rs, xri[0] * (1.0 + 1e-7 * (salt + i)),
+                xri[1], up, down)
+            outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
+        return jnp.stack(outs)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step_scan(xri, salt, n_reps):
         def body(acc, i):
             o_re, o_im = fir_upfirdn_planes_flat(
                 h_fir, h_rs,
@@ -232,7 +241,10 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
         return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
-    dt = rep_differenced(step, d_x, max_r_hi=512)
+    try:
+        dt = rep_differenced(step, d_x, max_r_hi=16)
+    except NoiseDominatedError:
+        dt = rep_differenced(step_scan, d_x, max_r_hi=512)
     rate = n / dt / 1e9  # GS/s input
 
     # CPU tier baseline (reference numpy/scipy path) at reduced size
@@ -271,12 +283,19 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
         # measured the harness, not the channelizer. Forcing reads a small
         # slice of each output plane; the kernel still writes the full
         # channel matrix to HBM (a pallas_call is opaque to DCE).
-        # scan-over-reps (round 5): the tap perturb makes every rep's fold
-        # tables loop-variant by design (2 KB of work), so the scan body
-        # repeats exactly the per-call work while the program size stays
-        # constant — rep counts can now escalate past transport noise
-        # (the unrolled program capped r_hi at 16 and was noise-REFUSED
-        # on the degraded late-session transport).
+        outs = []
+        for i in range(n_reps):
+            hh = jnp.asarray(h) * (1.0 + 1e-7 * (salt + i))
+            o_re, o_im = wola_planes_flat(hh, xri[0], xri[1], dec, nch)
+            outs.append(jnp.sum(o_re[:128]) + jnp.sum(o_im[-128:]))
+        return jnp.stack(outs)
+
+    @functools.partial(jax.jit, static_argnames=("n_reps",))
+    def step_scan(xri, salt, n_reps):
+        # noise-refusal fallback: constant program size escalates past
+        # transport jitter; ~20% conservative (the rep carry serializes
+        # the per-rep table build against the kernel — measured 8.8 vs
+        # 11.0+ GS/s same session)
         def body(acc, i):
             hh = jnp.asarray(h) * (1.0 + 1e-7 * (salt.astype(jnp.float32)
                                                  + i))
@@ -287,7 +306,10 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
         return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
-    dt = rep_differenced(step, d_x, max_r_hi=512)
+    try:
+        dt = rep_differenced(step, d_x, max_r_hi=16)
+    except NoiseDominatedError:
+        dt = rep_differenced(step_scan, d_x, max_r_hi=512)
     rate = n / dt / 1e9
 
     # CPU tier baseline: vectorized numpy WOLA fold + batched IFFT
