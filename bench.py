@@ -135,7 +135,7 @@ def jax_tree_first(tree):
     return leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf
 
 
-def emit(metric, value, unit, baseline, dt=None):
+def emit(metric, value, unit, baseline, dt=None, extra=None):
     value = float(value)
     if not np.isfinite(value) or value <= 0:
         raise ValueError(f"{metric}: non-finite/non-positive value {value!r}")
@@ -154,6 +154,8 @@ def emit(metric, value, unit, baseline, dt=None):
         rec["n_trials"] = dt.n_trials
         if not np.isfinite(dt.spread_pct) or dt.spread_pct > 10.0:
             rec["noisy"] = True
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec), flush=True)
 
 
@@ -241,10 +243,12 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
         return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
+    fell_back = False
     try:
         dt = rep_differenced(step, d_x, max_r_hi=16)
     except NoiseDominatedError:
         dt = rep_differenced(step_scan, d_x, max_r_hi=512)
+        fell_back = True
     rate = n / dt / 1e9  # GS/s input
 
     # CPU tier baseline (reference numpy/scipy path) at reduced size
@@ -255,7 +259,7 @@ def bench_fir_upfirdn(n=4_194_304, fir_taps=128, rs_taps=95, up=5, down=4):
     yb = sps.lfilter(h_fir, 1.0, xb)
     zb = sps.upfirdn(h_rs, yb, up, down)
     cpu_rate = nb / (time.perf_counter() - t0) / 1e9
-    return rate, cpu_rate, dt
+    return rate, cpu_rate, dt, fell_back
 
 
 # ---------------------------------------------------------------------------
@@ -306,10 +310,12 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
         return acc
 
     d_x = jax.device_put(jnp.asarray(x_ri))
+    fell_back = False
     try:
         dt = rep_differenced(step, d_x, max_r_hi=16)
     except NoiseDominatedError:
         dt = rep_differenced(step_scan, d_x, max_r_hi=512)
+        fell_back = True
     rate = n / dt / 1e9
 
     # CPU tier baseline: vectorized numpy WOLA fold + batched IFFT
@@ -324,7 +330,7 @@ def bench_wola(n=8_388_608, nch=64, dec=64, taps=2048):
     chans = np.fft.ifft(folded, axis=-1) * nch
     cpu_rate = nb / (time.perf_counter() - t0) / 1e9
     del chans
-    return rate, cpu_rate, dt
+    return rate, cpu_rate, dt, fell_back
 
 
 # ---------------------------------------------------------------------------
@@ -641,13 +647,17 @@ def main():
         guard("xcorr10m", _x10m)
     if only in (None, "wola"):
         def _wola():
-            rate, cpu, dt = bench_wola()
-            emit("wola_64ch_8M", rate, "GS/s", cpu, dt)
+            rate, cpu, dt, fb = bench_wola()
+            emit("wola_64ch_8M", rate, "GS/s", cpu, dt,
+                 extra={"harness": "scan_fallback_lower_bound"} if fb
+                 else None)
         guard("wola", _wola)
     if only in (None, "firupfirdn"):
         def _fir():
-            rate, cpu, dt = bench_fir_upfirdn()
-            emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu, dt)
+            rate, cpu, dt, fb = bench_fir_upfirdn()
+            emit("fir_upfirdn_chain_4M", rate, "GS/s", cpu, dt,
+                 extra={"harness": "scan_fallback_lower_bound"} if fb
+                 else None)
         guard("firupfirdn", _fir)
     if only in (None, "groupxcorr"):
         def _gx():
