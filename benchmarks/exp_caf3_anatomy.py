@@ -1,3 +1,14 @@
+"""HISTORICAL (round 5, v1 kernel): this anatomy probed the v1 fused_caf3
+API (_caf3_pallas with per-shift windows), which the v2 chunk-amortized
+rewrite removed. Findings are recorded in ROADMAP.md ("Round-5 state"):
+slice-only 1.274 ms/shift, kernel A 0.759, A+B 1.301, full 0.926 —
+the measurements that motivated v2. Kept for the record; not runnable
+against the current module.
+"""
+raise SystemExit("exp_caf3_anatomy probed the retired v1 API - see ROADMAP")
+
+# --- original script below ---
+'''
 """Chip anatomy of the three-stage fused 10M CAF (fused_caf3).
 
 First A/B read 1.08 ms/shift for BOTH fused3 and the old planes path —
@@ -111,3 +122,5 @@ if __name__ == "__main__":
                   f"-> {n / (dt/per) / 1e9:6.2f} Gss/s", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+'''
